@@ -11,4 +11,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The hosting environment force-registers an experimental TPU platform
+# ("axon") that overrides JAX_PLATFORMS; pin CPU explicitly so the test
+# suite always runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
