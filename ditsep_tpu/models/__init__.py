@@ -1,0 +1,24 @@
+"""Neural network models (Flax / NHWC, TPU-native)."""
+from ditsep_tpu.models.layers import (
+    AttnBlockpp,
+    Combine,
+    Downsample,
+    GaussianFourierProjection,
+    NIN,
+    ResampleConv2d,
+    ResnetBlockBigGANpp,
+    ResnetBlockDDPMpp,
+    Upsample,
+    default_init,
+    get_act,
+)
+from ditsep_tpu.models.ncsnpp import NCSNpp
+from ditsep_tpu.models.score_models import (
+    LatentScoreModelNCSNpp,
+    ScoreModelNCSNpp,
+)
+from ditsep_tpu.models.torch_import import (
+    import_ema_params,
+    import_params,
+    load_torch_ckpt,
+)
