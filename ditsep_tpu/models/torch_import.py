@@ -148,6 +148,115 @@ def import_ema_params(
     return import_params(flax_params, state, prefix=prefix, strict=True)
 
 
+def oobleck_flax_path_to_torch_key(path: Tuple[str, ...],
+                                   n_blocks: int = 5) -> Optional[str]:
+    """Map an OobleckVAE flax param path to the stable-audio-tools torch
+    state_dict key (reference: src/stable_audio_tools/models/
+    autoencoders.py:285-356 nn.Sequential index layout).
+
+    Weight-norm leaves: flax ``v``/``g`` map to torch ``weight_v``/
+    ``weight_g`` (torch.nn.utils.weight_norm key names).
+    """
+    parts = list(path)
+    leaf = parts.pop()
+    leaf_map = {"v": "weight_v", "g": "weight_g", "bias": "bias",
+                "alpha": "alpha", "beta": "beta"}
+    if leaf not in leaf_map:
+        return None
+
+    def conv_in_res(res_local: str) -> str:
+        # ResidualUnit.layers: 0=act 1=conv7 2=act 3=conv1
+        return {"conv_0": "layers.1", "conv_1": "layers.3",
+                "act_0": "layers.0.act", "act_1": "layers.2.act"}[res_local]
+
+    out: list = []
+    side = parts[0]  # 'encoder' or 'decoder'
+    out.append(side)
+    rest = parts[1:]
+    if rest[0] == "stem":
+        out.append("layers.0")
+    elif rest[0] == "head":
+        out.append(f"layers.{n_blocks + 2}")
+    elif rest[0] == "act":
+        # top-level snake activation before head
+        out.append(f"layers.{n_blocks + 1}.act")
+    elif rest[0].startswith("block_"):
+        i = int(rest[0].split("_")[1])
+        out.append(f"layers.{i + 1}")
+        if side == "encoder":
+            # EncoderBlock.layers: 0,1,2=res 3=act 4=down
+            if rest[1].startswith("res_"):
+                r = int(rest[1].split("_")[1])
+                out.append(f"layers.{r}")
+                out.append(conv_in_res(rest[2]))
+            elif rest[1] == "down":
+                out.append("layers.4")
+            elif rest[1] == "act":
+                out.append("layers.3.act")
+        else:
+            # DecoderBlock.layers: 0=act 1=up 2,3,4=res
+            if rest[1] == "up":
+                out.append("layers.1")
+            elif rest[1].startswith("res_"):
+                r = int(rest[1].split("_")[1])
+                out.append(f"layers.{2 + r}")
+                out.append(conv_in_res(rest[2]))
+            elif rest[1] == "act":
+                out.append("layers.0.act")
+    else:
+        return None
+    out.append(leaf_map[leaf])
+    return ".".join(out)
+
+
+def _convert_oobleck_leaf(arr: np.ndarray, flax_leaf: str, is_transpose: bool,
+                          flax_shape) -> np.ndarray:
+    a = np.asarray(arr)
+    if flax_leaf == "v":
+        # torch conv (O,I,K) / conv-transpose (I,O,K) -> both (K, dim1, dim0)
+        a = a.transpose(2, 1, 0)
+    elif flax_leaf == "g":
+        a = a.reshape(-1)
+    if tuple(a.shape) != tuple(flax_shape):
+        raise ValueError(
+            f"oobleck shape mismatch: got {a.shape}, want {flax_shape}")
+    return a
+
+
+def import_oobleck_params(
+    flax_params: Mapping[str, Any],
+    torch_state: Mapping[str, np.ndarray],
+    prefix: str = "",
+    n_blocks: int = 5,
+) -> Dict[str, Any]:
+    """Fill an OobleckVAE flax tree from a stable-audio-tools checkpoint."""
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+
+    def to_mutable(tree):
+        if isinstance(tree, Mapping):
+            return {k: to_mutable(v) for k, v in tree.items()}
+        return tree
+
+    out = to_mutable(flax_params)
+    for keypath, leaf in flat:
+        names = tuple(str(getattr(k, "key", k)) for k in keypath)
+        tkey = oobleck_flax_path_to_torch_key(names, n_blocks=n_blocks)
+        if tkey is None:
+            raise KeyError(f"unmapped oobleck flax leaf {'/'.join(names)}")
+        tkey = prefix + tkey
+        if tkey not in torch_state:
+            raise KeyError(f"torch key {tkey!r} not found (flax "
+                           f"{'/'.join(names)})")
+        is_tr = names[-2] == "up" if len(names) >= 2 else False
+        arr = _convert_oobleck_leaf(
+            torch_state[tkey], names[-1], is_tr, leaf.shape)
+        node = out
+        for n in names[:-1]:
+            node = node[n]
+        node[names[-1]] = arr.astype(np.asarray(leaf).dtype)
+    return out
+
+
 def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint/state_dict file into numpy (requires torch)."""
     import torch  # local import: torch is optional at runtime

@@ -1,0 +1,411 @@
+"""DiffSep training: score-matching losses, PIT variants, and the jitted
+train step.
+
+TPU-native re-design of the reference Lightning modules ``DiffSepModel`` and
+``DiffSepOU`` (reference: src/diffsep.py:28-726 and :729-1219). One trainer
+class covers both: behavior switches on the SDE type (matrix Mix SDEs vs
+scalar OUVE/SBVE, with EDM preconditioning for SBVE), exactly as the two
+reference classes differ.
+
+TPU-first design decisions
+--------------------------
+* **One network call per sample, always.** Every reference PIT variant
+  evaluates the score net once *per permutation* on inputs that are
+  permutation-independent (e.g. ``x_t = true_mix + L z0`` in
+  ``compute_score_loss_init_hack_pit``, reference src/diffsep.py:304-339 --
+  the permutation only enters the loss target ``z_p``). We therefore run a
+  single batched forward and fold the permutations into cheap elementwise
+  loss terms, an exact-semantics speedup of up to (n_src)! on those branches.
+* **Masked selects instead of boolean gathers.** The reference splits each
+  batch into PIT / non-PIT subsets with data-dependent indexing
+  (src/diffsep.py:363-427), which cannot compile to a static XLA graph.
+  Here both per-sample loss variants are formed from the same single
+  prediction and blended with ``jnp.where`` masks -- identical expectation,
+  static shapes.
+* Everything (loss, grad, clip, Adam, EMA) is one jitted function; batch
+  axis shards over the mesh data axis with no code changes.
+
+Known reference quirk reproduced for parity: ``compute_score_loss_with_pit``
+adds ``+L^{-1}(mean_p - mean_sel)`` to the noise target where the
+self-consistent sign would be negative (reference src/diffsep.py:235-241;
+compare :285-289 where the sign is consistent). We mirror the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ditsep_tpu.sdes import (
+    BaseSDE, MixSDE, OUVESDE, PriorMixSDE, SBVESDE, bcast_right,
+    pc_sample, sb_sample,
+)
+from ditsep_tpu.training import losses as loss_lib
+from ditsep_tpu.utils import separate as sep_utils
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffSepConfig:
+    """Hyperparameters mirroring the reference model config
+    (reference: src/config/diffsep/model/default.yaml)."""
+
+    n_speakers: int = 2
+    t_eps: float = 0.03
+    t_rev_init: float = 0.03
+    ema_decay: float = 0.999
+    time_sampling_strategy: str = "uniform"
+    train_source_order: str = "power"
+    init_hack: int = 5
+    init_hack_p: float = 0.1
+    mmnr_thresh_pit: float = -10.0
+    lr: float = 2e-4
+    lr_warmup: Optional[int] = None
+    grad_clip: float = 5.0
+    # sampler defaults (reference: model/default.yaml:45-48)
+    sampler_N: int = 30
+    sampler_snr: float = 0.5
+    sampler_corrector_steps: int = 1
+    # EDM / SBVE preconditioning (reference: src/diffsep.py:793-795)
+    network_scaling: str = "1/sigma"
+    c: str = "edm"
+    sigma_data: float = 0.1
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def _perms(n: int):
+    return list(itertools.permutations(range(n)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffSepTrainer:
+    """Functional trainer. `model` is a Flax module whose __call__ is
+    (xt, time, mix) -> score; `sde` one of the SDE dataclasses."""
+
+    model: Any
+    sde: BaseSDE
+    cfg: DiffSepConfig = DiffSepConfig()
+
+    # -- type dispatch ------------------------------------------------------
+    @property
+    def is_matrix(self) -> bool:
+        return isinstance(self.sde, (MixSDE, PriorMixSDE))
+
+    @property
+    def is_edm(self) -> bool:
+        return isinstance(self.sde, SBVESDE)
+
+    def _anchor(self, mix: Array, shape: Tuple[int, ...]) -> Array:
+        """The t=T attractor the init hacks blend toward: mix/n for Mix SDEs
+        (reference src/diffsep.py:125), the full mixture per source for
+        scalar SDEs (reference src/diffsep.py:862-868)."""
+        if self.is_matrix:
+            return jnp.broadcast_to(mix / shape[1], shape)
+        return jnp.broadcast_to(mix, shape)
+
+    # -- score network with optional EDM preconditioning --------------------
+    def model_fwd(self, params, xt: Array, time: Array, mix: Array, *,
+                  train: bool = False, rngs=None) -> Array:
+        """(reference: src/diffsep.py:341-343 and :813-830)."""
+        cfg = self.cfg
+        apply = partial(self.model.apply, params, train=train, rngs=rngs)
+        if not self.is_edm:
+            return apply(xt, time, mix)
+        sigma = self.sde.std(time)
+        nd = xt.ndim
+        sd = cfg.sigma_data
+        if cfg.c == "1":
+            c_in = c_out = 1.0
+            c_skip = 0.0
+        elif cfg.c == "edm":
+            # NOTE: mirrors the reference's padded-branch formulas exactly
+            # (src/diffsep.py:1165-1202): with pad_dim set, c_in and c_skip
+            # swap their roles relative to Karras et al. -- kept for parity.
+            c_in = bcast_right(sd ** 2 / (sigma ** 2 + sd ** 2), nd)
+            c_out = bcast_right(sigma * sd / jnp.sqrt(sd ** 2 + sigma ** 2), nd)
+            c_skip = bcast_right(sigma ** 2 / (sigma ** 2 + sd ** 2), nd)
+        else:
+            raise ValueError(f"invalid c: {cfg.c}")
+        f = apply(c_in * xt, time, c_in * mix)
+        if cfg.network_scaling == "1/sigma":
+            f = f / bcast_right(sigma, nd)
+        elif cfg.network_scaling == "1/t":
+            f = f / bcast_right(time, nd)
+        return c_skip * xt + c_out * f
+
+    # -- time / prior sampling ----------------------------------------------
+    def sample_time(self, key: Array, n: int) -> Array:
+        cfg = self.cfg
+        if cfg.time_sampling_strategy == "uniform":
+            return jax.random.uniform(
+                key, (n,), minval=cfg.t_eps, maxval=self.sde.T)
+        if cfg.time_sampling_strategy == "varprop":
+            return self.sde.sample_time_varprop(key, n, t_eps=cfg.t_eps)
+        raise NotImplementedError(cfg.time_sampling_strategy)
+
+    def _marginal(self, target, time, mix):
+        return self.sde.marginal_prob(target, time, mix)
+
+    # -- losses (all return per-sample (B,) values) -------------------------
+    def compute_score_loss(self, params, key, mix, target, *,
+                           train=False, rngs=None) -> Array:
+        """Plain denoising score matching ||L s_theta + z||^2
+        (reference: src/diffsep.py:345-358 / :836-841)."""
+        k_t, k_z = jax.random.split(key)
+        time = self.sample_time(k_t, target.shape[0])
+        mean, L = self._marginal(target, time, mix)
+        z = jax.random.normal(k_z, target.shape, dtype=target.dtype)
+        x_t = mean + self.sde.mult_std(L, z)
+        pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
+        l_score = self.sde.mult_std(L, pred)
+        return jnp.mean((l_score + z) ** 2, axis=(-2, -1))
+
+    def compute_score_loss_init_hack_pit(self, params, key, mix, target, *,
+                                         train=False, rngs=None) -> Array:
+        """PIT at t=T: blend toward the true mixture, min over permutations
+        (reference: src/diffsep.py:304-339 / :843-868). Single forward pass:
+        x_t = anchor + L z0 does not depend on the permutation."""
+        b = target.shape[0]
+        time = jnp.full((b,), self.sde.T, dtype=target.dtype)
+        z0 = jax.random.normal(key, target.shape, dtype=target.dtype)
+        anchor = self._anchor(mix, target.shape)
+
+        _, L = self._marginal(target, time, mix)
+        x_t = anchor + self.sde.mult_std(L, z0)
+        pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
+        l_pred = self.sde.mult_std(L, pred)
+
+        losses = []
+        for p in _perms(target.shape[1]):
+            mean_p, L_p = self._marginal(target[:, p, :], time, mix)
+            if self.is_edm:
+                z_p = z0
+            else:
+                z_p = z0 + self.sde.mult_std_inv(L_p, anchor - mean_p)
+            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+        return jnp.min(jnp.stack(losses, axis=0), axis=0)
+
+    def compute_score_loss_with_pit(self, params, key, mix, target, *,
+                                    train=False, rngs=None) -> Array:
+        """mmnr-gated PIT (reference: src/diffsep.py:183-259). The gather
+        into PIT / non-PIT subsets becomes a masked select; the network runs
+        once (its input is permutation-independent)."""
+        cfg = self.cfg
+        b, n_src = target.shape[:2]
+        k_t, k_sel, k_z = jax.random.split(key, 3)
+        time = self.sample_time(k_t, b)
+        perms = _perms(n_src)
+
+        means = jnp.stack(
+            [self._marginal(target[:, p, :], time, mix)[0] for p in perms],
+            axis=1)  # (B, n_perm, n_src, T)
+        _, L = self._marginal(target, time, mix)
+        z = jax.random.normal(k_z, target.shape, dtype=target.dtype)
+        lz = self.sde.mult_std(L, z)
+
+        sel = jax.random.randint(k_sel, (b,), 0, len(perms))
+        mean_sel = jnp.take_along_axis(
+            means, sel[:, None, None, None], axis=1)[:, 0]
+        x_t = mean_sel + lz
+
+        # model-mismatch-to-noise ratio (reference: :206-216)
+        err = means - mean_sel[:, None]
+        n_elems = (len(perms) - 1) * n_src * target.shape[-1]
+        err_pow = jnp.sum(err ** 2, axis=(1, 2, 3)) / n_elems
+        noise_pow = jnp.mean(lz ** 2, axis=(1, 2))
+        mmnr = 10.0 * jnp.log10(
+            err_pow / jnp.clip(noise_pow, min=1e-5))
+        use_pit = mmnr < cfg.mmnr_thresh_pit
+
+        pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
+        l_pred = self.sde.mult_std(L, pred)
+
+        losses = []
+        for i in range(len(perms)):
+            # reference sign quirk preserved (see module docstring)
+            z_p = z + self.sde.mult_std_inv(L, err[:, i])
+            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+        loss_pit = jnp.min(jnp.stack(losses, axis=0), axis=0)
+        loss_reg = jnp.mean((l_pred + z) ** 2, axis=(-2, -1))
+        return jnp.where(use_pit, loss_pit, loss_reg)
+
+    def compute_score_loss_with_pit_allthetime(self, params, key, mix,
+                                               target, *, train=False,
+                                               rngs=None) -> Array:
+        """All-time PIT (reference: src/diffsep.py:260-302), single forward."""
+        k_shuf, k_t, k_z = jax.random.split(key, 3)
+        time = self.sample_time(k_t, target.shape[0])
+        target = sep_utils.shuffle_sources(k_shuf, target)
+        mean_0, L = self._marginal(target, time, mix)
+        z0 = jax.random.normal(k_z, target.shape, dtype=target.dtype)
+        x_t = mean_0 + self.sde.mult_std(L, z0)
+        pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
+        l_pred = self.sde.mult_std(L, pred)
+        losses = []
+        for p in _perms(target.shape[1]):
+            mean_p, _ = self._marginal(target[:, p, :], time, mix)
+            z_p = z0 + self.sde.mult_std_inv(L, mean_0 - mean_p)
+            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+        return jnp.min(jnp.stack(losses, axis=0), axis=0)
+
+    # -- init-hack train-step mixtures --------------------------------------
+    def _mixture_loss(self, params, key, mix, target, other_loss, *,
+                      train=False, rngs=None) -> Array:
+        """Bernoulli(init_hack_p) blend of the t=T PIT loss and `other_loss`
+        (reference: src/diffsep.py:363-427). Both branches share one network
+        call each; the per-sample mask selects which loss counts."""
+        cfg = self.cfg
+        b = mix.shape[0]
+        k_mask, k_pit, k_other = jax.random.split(key, 3)
+        pit_mask = jax.random.uniform(k_mask, (b,)) < cfg.init_hack_p
+        loss_pit = self.compute_score_loss_init_hack_pit(
+            params, k_pit, mix, target, train=train, rngs=rngs)
+        loss_other = other_loss(params, k_other, mix, target,
+                                train=train, rngs=rngs)
+        return jnp.where(pit_mask, loss_pit, loss_other)
+
+    def training_loss(self, params, key, mix, target, *, train=True,
+                      rngs=None) -> Array:
+        """Scalar training loss (reference: src/diffsep.py:429-462)."""
+        cfg = self.cfg
+
+        def loss_shuffled(p, k, m, t, train=False, rngs=None):
+            k_s, k_l = jax.random.split(k)
+            return self.compute_score_loss(
+                p, k_l, m, sep_utils.shuffle_sources(k_s, t),
+                train=train, rngs=rngs)
+
+        if cfg.init_hack == 5:
+            loss = self._mixture_loss(params, key, mix, target, loss_shuffled,
+                                      train=train, rngs=rngs)
+        elif cfg.init_hack == 6:
+            def other(p, k, m, t, train=False, rngs=None):
+                k_s, k_l = jax.random.split(k)
+                return self.compute_score_loss_with_pit(
+                    p, k_l, m, sep_utils.shuffle_sources(k_s, t),
+                    train=train, rngs=rngs)
+            loss = self._mixture_loss(params, key, mix, target, other,
+                                      train=train, rngs=rngs)
+        elif cfg.init_hack == 7:
+            loss = self._mixture_loss(
+                params, key, mix, target,
+                self.compute_score_loss_with_pit_allthetime,
+                train=train, rngs=rngs)
+        elif cfg.train_source_order == "pit":
+            loss = self.compute_score_loss_with_pit(
+                params, key, mix, target, train=train, rngs=rngs)
+        else:
+            k_o, k_l = jax.random.split(key)
+            if cfg.train_source_order == "power":
+                target = sep_utils.power_order_sources(target)
+            elif cfg.train_source_order == "random":
+                target = sep_utils.shuffle_sources(k_o, target)
+            loss = self.compute_score_loss(params, k_l, mix, target,
+                                           train=train, rngs=rngs)
+        return jnp.mean(loss)
+
+    # -- optimizer / train step ---------------------------------------------
+    def make_optimizer(self) -> optax.GradientTransformation:
+        """Adam + fixed-norm clipping + optional linear LR warmup
+        (reference: src/config/diffsep/model/default.yaml:66-75,
+        src/diffsep.py:616-621, src/utils/autoclip_module.py:21-31)."""
+        cfg = self.cfg
+        if cfg.lr_warmup:
+            schedule = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup)
+        else:
+            schedule = cfg.lr
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(schedule),
+        )
+
+    def init_state(self, params) -> TrainState:
+        tx = self.make_optimizer()
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), ema_params=params,
+        )
+
+    def train_step(self, state: TrainState, key: Array,
+                   batch: Tuple[Array, Array]) -> Tuple[TrainState, Dict]:
+        """One full step: normalize -> loss -> grad -> clip -> Adam -> EMA.
+        Jit (and shard the batch over a mesh) from the caller."""
+        cfg = self.cfg
+        (mix, target), _, _ = sep_utils.normalize_batch(batch)
+
+        def loss_fn(p):
+            return self.training_loss(p, key, mix, target, train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        tx = self.make_optimizer()
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        d = cfg.ema_decay
+        ema_params = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_params)
+        metrics = {
+            "train/score_loss": loss,
+            "train/grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    # -- validation / inference ---------------------------------------------
+    def val_score_loss(self, params, key, batch) -> Array:
+        (mix, target), _, _ = sep_utils.normalize_batch(batch)
+        return self.training_loss(params, key, mix, target, train=False)
+
+    def separate(self, params, key, mix, *, N: Optional[int] = None,
+                 snr: Optional[float] = None,
+                 corrector_steps: Optional[int] = None,
+                 **kwargs) -> Tuple[Array, Any]:
+        """Full separation: normalize -> reverse sampling -> denormalize
+        (reference: src/diffsep.py:82-98 / :1204-1219). The sampler choice
+        follows the reference: SB sampler for SBVE, PC with 'ald' for scalar
+        SDEs, PC with 'ald2' for Mix SDEs."""
+        cfg = self.cfg
+        (mix, _), mean, std = sep_utils.normalize_batch((mix, None))
+        score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
+        if self.is_edm:
+            est, nfe = sb_sample(
+                self.sde, score_fn, key, mix,
+                sampler_type=self.sde.sampler_type,
+                n_spkrs=cfg.n_speakers, **kwargs)
+        else:
+            est, nfe = pc_sample(
+                self.sde, score_fn, key, mix,
+                predictor="reverse_diffusion",
+                corrector="ald2" if self.is_matrix else "ald",
+                N=cfg.sampler_N if N is None else N,
+                snr=cfg.sampler_snr if snr is None else snr,
+                corrector_steps=(cfg.sampler_corrector_steps
+                                 if corrector_steps is None
+                                 else corrector_steps),
+                denoise=True, eps=cfg.t_eps, n_spkrs=cfg.n_speakers,
+                **kwargs)
+        est = sep_utils.denormalize_batch(est, mean, std)
+        return est, nfe
+
+    def val_separation_metrics(self, params, key, batch, **kwargs) -> Dict:
+        """Separation + SI-SDR for validation monitoring
+        (reference: src/diffsep.py:474-500)."""
+        mix, target = batch
+        est, _ = self.separate(params, key, mix, **kwargs)
+        si_sdr = loss_lib.si_sdr_loss(
+            est, target, zero_mean=True, clamp_db=30.0, sign_flip=True)
+        return {"val/si_sdr": si_sdr}

@@ -1,0 +1,82 @@
+"""Source-ordering and batch-normalization utilities (pure JAX).
+
+Re-design of the reference helpers (reference: src/utils/separate.py:3-67).
+All functions are shape-static and jit-safe; randomized ones take explicit
+PRNG keys.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _gather_sources(x: Array, idx: Array) -> Array:
+    """Reorder axis 1 of x per batch entry by idx (B, n_src)."""
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+def shuffle_sources(key: Array, x: Array) -> Array:
+    """Random per-batch-entry permutation along axis 1
+    (reference: src/utils/separate.py:3-21)."""
+    if x.ndim <= 1:
+        return x
+    c = jax.random.uniform(key, x.shape[:2])
+    idx = jnp.argsort(c, axis=1)
+    return _gather_sources(x, idx)
+
+
+def power_order_sources(x: Array) -> Array:
+    """Order sources by increasing variance
+    (reference: src/utils/separate.py:35-53)."""
+    if x.ndim <= 1:
+        return x
+    c = jnp.var(x, axis=tuple(range(2, x.ndim)))
+    idx = jnp.argsort(c, axis=1)
+    return _gather_sources(x, idx)
+
+
+def select_elem_at_random(key: Array, x: Array, axis: int = -1) -> Array:
+    """Pick one random slice along `axis` per batch entry, keepdims
+    (reference: src/utils/separate.py:24-32)."""
+    x = jnp.moveaxis(x, axis, -1)
+    sel = jax.random.randint(key, (x.shape[0],), 0, x.shape[-1])
+    sel = sel.reshape((-1,) + (1,) * (x.ndim - 1))
+    x = jnp.take_along_axis(x, jnp.broadcast_to(sel, x.shape[:-1] + (1,)),
+                            axis=-1)
+    return jnp.moveaxis(x, -1, axis)
+
+
+def normalize_batch(
+    batch: Tuple[Array, Optional[Array]]
+) -> Tuple[Tuple[Array, Optional[Array]], Array, Array]:
+    """Normalize by the mixture's mean/std (reference:
+    src/utils/separate.py:56-63). std uses the unbiased (ddof=1) estimator to
+    match torch.std."""
+    mix, tgt = batch
+    mean = jnp.mean(mix, axis=(1, 2), keepdims=True)
+    std = jnp.clip(jnp.std(mix, axis=(1, 2), keepdims=True, ddof=1),
+                   min=1e-5)
+    mix = (mix - mean) / std
+    if tgt is not None:
+        tgt = (tgt - mean) / std
+    return (mix, tgt), mean, std
+
+
+def denormalize_batch(x: Array, mean: Array, std: Array) -> Array:
+    """(reference: src/utils/separate.py:66-67)."""
+    return x * std + mean
+
+
+def pad_to_hop(x: Array, hop_length: int) -> Array:
+    """Zero-pad the last axis up to a multiple of hop_length
+    (reference: src/utils/torch_utils.py:12-18)."""
+    rem = x.shape[-1] % hop_length
+    if rem == 0:
+        return x
+    pad = hop_length - rem
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
