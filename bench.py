@@ -1,0 +1,77 @@
+"""Benchmark: utterance throughput of 30-step PC-sampler separation.
+
+The reference's headline number (BASELINE.md): 3.659 s per 8.415 s utterance
+(0.273 utt/s) for N=30, snr=0.5, corrector_steps=1, denoise=True (NFE=60),
+batch_size=1 on a single CUDA GPU (reference: results/..._summary.json,
+timing code src/evaluate_mp.py:325-327).
+
+Here the whole 30-step loop is ONE jitted lax.scan and utterances are
+batched, so the chip stays saturated. Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_UTT_PER_S = 1.0 / 3.659  # reference: librimix_test_summary.json
+UTT_SECONDS = 8.415               # mean test-utterance length (summary len_s)
+FS = 8000
+
+
+def main():
+    from ditsep_tpu.models import ScoreModelNCSNpp
+    from ditsep_tpu.sdes import MixSDE, pc_sample
+
+    # flagship config: icassp-separation experiment (nf=128)
+    # (reference: src/config/diffsep/experiment/icassp-separation.yaml:16)
+    model = ScoreModelNCSNpp(num_sources=2, nf=128,
+                             ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                             attn_resolutions=(16,), image_size=256)
+    sde = MixSDE(N=30)
+
+    t_len = int(UTT_SECONDS * FS)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    dtype = jnp.float32
+
+    key = jax.random.PRNGKey(0)
+    mix = jax.random.normal(key, (batch, 1, t_len), dtype=dtype)
+    xt = jax.random.normal(key, (batch, 2, t_len), dtype=dtype)
+    tcond = jnp.full((batch,), 0.5, dtype=dtype)
+    params = model.init(key, xt, tcond, mix)
+
+    def score_fn(x, t, y):
+        return model.apply(params, x, t, y)
+
+    @jax.jit
+    def sample(k, y):
+        est, nfe = pc_sample(
+            sde, score_fn, k, y, predictor="reverse_diffusion",
+            corrector="ald2", N=30, snr=0.5, corrector_steps=1,
+            denoise=True, eps=0.03, n_spkrs=2)
+        return est
+
+    # warmup/compile
+    est = sample(jax.random.PRNGKey(1), mix)
+    est.block_until_ready()
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        est = sample(jax.random.PRNGKey(2 + i), mix)
+    est.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    utt_per_s = batch / dt
+    print(json.dumps({
+        "metric": "pc30_separation_throughput",
+        "value": round(utt_per_s, 4),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_per_s / BASELINE_UTT_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""WSJ0-mix / LibriMix directory-layout datasets and collators.
+
+Re-design of the reference data layer (reference: src/datasets/wsj0_mix.py
+:16-150 and src/datasets/vctk_demand.py:21-114) for a TPU input pipeline:
+
+* Pure numpy on the host (wav IO via scipy), no torch DataLoader.
+* **Bucketed static shapes**: jit recompiles per input shape, so the batch
+  iterator pads every batch up to a fixed length bucket (the biggest
+  TPU-specific data-layer decision; the reference pads to the longest item
+  per batch, giving unbounded shape diversity).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# split name maps (reference: src/datasets/wsj0_mix.py:16-24)
+SPLITS_WSJ = {"train": "tr", "val": "cv", "test": "tt",
+              "librimix_train-360": "train-360", "librimix_dev": "dev",
+              "librimix_test": "test"}
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Load a wav file as float32 in [-1, 1]. scipy-based (no soundfile in
+    the TPU image)."""
+    from scipy.io import wavfile
+
+    fs, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.T  # (C, T)
+    return data, fs
+
+
+def write_wav(path: str, data: np.ndarray, fs: int) -> None:
+    from scipy.io import wavfile
+
+    data = np.asarray(data, np.float32)
+    wavfile.write(path, fs, (np.clip(data, -1, 1) * 32767).astype(np.int16))
+
+
+@dataclasses.dataclass
+class WSJ0Mix:
+    """2/3-speaker mixture dataset over the wsj0-mix or LibriMix directory
+    layout (reference: src/datasets/wsj0_mix.py:27-101).
+
+    Items: (mix (1, T), targets (n_spkr, T)) float32 numpy.
+    """
+
+    path: str
+    n_spkr: int = 2
+    cut: str = "max"
+    split: str = "librimix_test"
+    fs: int = 8000
+    max_len_s: Optional[float] = None
+    rng_seed: int = 0
+
+    def __post_init__(self):
+        split_dir = SPLITS_WSJ.get(self.split, self.split)
+        root = Path(self.path)
+        if "libri" in self.split:
+            base = (root / f"Libri{self.n_spkr}Mix" / f"wav{self.fs//1000}k"
+                    / self.cut / split_dir)
+            self.mix_dir = base / "mix_both"
+            if not self.mix_dir.exists():
+                self.mix_dir = base / "mix_clean"
+            self.src_dirs = [base / f"s{i+1}" for i in range(self.n_spkr)]
+        else:
+            base = (root / f"{self.n_spkr}speakers"
+                    / f"wav{self.fs//1000}k" / self.cut / split_dir)
+            self.mix_dir = base / "mix"
+            self.src_dirs = [base / f"s{i+1}" for i in range(self.n_spkr)]
+        if self.mix_dir.exists():
+            self.files = sorted(os.listdir(self.mix_dir))
+            self.files = [f for f in self.files if f.endswith(".wav")]
+        else:
+            self.files = []
+        self._rng = np.random.default_rng(self.rng_seed)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        fname = self.files[idx]
+        mix, _ = read_wav(str(self.mix_dir / fname))
+        srcs = [read_wav(str(d / fname))[0] for d in self.src_dirs]
+        mix = np.atleast_2d(mix)
+        tgt = np.stack([np.atleast_1d(s).reshape(-1) for s in srcs])
+        mix = mix.reshape(1, -1)
+        # random crop (reference: wsj0_mix.py:95-99)
+        if self.max_len_s is not None:
+            max_len = int(self.max_len_s * self.fs)
+            t = mix.shape[-1]
+            if t > max_len:
+                start = int(self._rng.integers(0, t - max_len + 1))
+                mix = mix[:, start:start + max_len]
+                tgt = tgt[:, start:start + max_len]
+        return mix, tgt
+
+
+@dataclasses.dataclass
+class SyntheticMixDataset:
+    """Deterministic synthetic mixtures for tests/benchmarks without data
+    on disk: per-source band-limited noise bursts summed into the mix."""
+
+    n_items: int = 16
+    n_spkr: int = 2
+    fs: int = 8000
+    min_len_s: float = 2.0
+    max_len_s: float = 6.0
+    seed: int = 0
+
+    def __len__(self):
+        return self.n_items
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed + idx)
+        t = int(rng.uniform(self.min_len_s, self.max_len_s) * self.fs)
+        srcs = []
+        for s in range(self.n_spkr):
+            x = rng.standard_normal(t).astype(np.float32)
+            # cheap band-limit: moving average with random width
+            k = int(rng.integers(2, 16))
+            x = np.convolve(x, np.ones(k, np.float32) / k, mode="same")
+            srcs.append(0.3 * x / (np.std(x) + 1e-6) * rng.uniform(0.3, 1.0))
+        tgt = np.stack(srcs)
+        mix = tgt.sum(axis=0, keepdims=True)
+        return mix.astype(np.float32), tgt.astype(np.float32)
+
+
+def max_collator(batch: Sequence[Tuple[np.ndarray, ...]],
+                 pad_to: Optional[int] = None):
+    """Pad every signal to the longest (or to `pad_to`), centered
+    (reference: src/datasets/wsj0_mix.py:104-120)."""
+    max_len = max(b[0].shape[-1] for b in batch)
+    if pad_to is not None:
+        max_len = max(max_len, pad_to)
+    out: List[np.ndarray] = []
+    n_fields = len(batch[0])
+    for i in range(n_fields):
+        arrs = []
+        for b in batch:
+            x = b[i]
+            pad = max_len - x.shape[-1]
+            lo = pad // 2
+            arrs.append(np.pad(x, [(0, 0)] * (x.ndim - 1)
+                               + [(lo, pad - lo)]))
+        out.append(np.stack(arrs))
+    return tuple(out)
+
+
+def length_buckets(lengths: Sequence[int], n_buckets: int = 8,
+                   multiple: int = 2048) -> List[int]:
+    """Choose bucket boundaries (padded lengths) from the empirical length
+    distribution, rounded up to `multiple` for friendly STFT/VAE shapes."""
+    qs = np.quantile(np.asarray(lengths), np.linspace(0, 1, n_buckets + 1))
+    bounds = sorted({int(math.ceil(q / multiple)) * multiple
+                     for q in qs[1:]})
+    return bounds
+
+
+@dataclasses.dataclass
+class BucketedLoader:
+    """Batch iterator with static-shape buckets.
+
+    Items are grouped by padded-length bucket; every emitted batch has
+    shape (batch_size, ..., bucket_len) so jit compiles once per bucket
+    instead of once per unique length. `lengths` fall back to a full scan.
+    """
+
+    dataset: object
+    batch_size: int = 8
+    n_buckets: int = 8
+    multiple: int = 2048
+    shuffle: bool = True
+    seed: int = 0
+    drop_remainder: bool = False
+
+    def __post_init__(self):
+        self._lengths = [self.dataset[i][0].shape[-1]
+                         for i in range(len(self.dataset))]
+        self._bounds = length_buckets(self._lengths, self.n_buckets,
+                                      self.multiple)
+
+    def bucket_of(self, length: int) -> int:
+        for b in self._bounds:
+            if length <= b:
+                return b
+        return self._bounds[-1]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        pools: dict = {}
+        for idx in order:
+            L = self._lengths[idx]
+            b = self.bucket_of(L)
+            pools.setdefault(b, []).append(idx)
+            if len(pools[b]) == self.batch_size:
+                items = [self.dataset[i] for i in pools.pop(b)]
+                yield max_collator(items, pad_to=b)
+        if not self.drop_remainder:
+            for b, idxs in pools.items():
+                if not idxs:
+                    continue
+                # pad the batch up to batch_size by repeating the last item
+                # (static batch shape); callers can mask via true count
+                items = [self.dataset[i] for i in idxs]
+                while len(items) < self.batch_size:
+                    items.append(items[-1])
+                yield max_collator(items, pad_to=b)

@@ -1,0 +1,149 @@
+"""Sharded batched test-set evaluation.
+
+Replaces the reference's multiprocess evaluation machinery
+(reference: src/evaluate_mp.py:212-529 + src/utils/processing_pool.py):
+instead of a torch.multiprocessing pool pinning one utterance at a time to
+each GPU, utterances are bucketed by length into static-shape batches,
+the whole batch rides one jitted PC-sampling call (sharded over the mesh
+data axis when a mesh is given), and metrics run on host threads.
+
+Output schema matches the reference artifacts exactly
+(results/<...>/librimix_test.json and _summary.json) so results diff
+directly against the shipped oracles.
+"""
+from __future__ import annotations
+
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ditsep_tpu.data.wsj0_mix import max_collator
+from ditsep_tpu.eval.metrics import compute_metrics
+
+Array = jax.Array
+
+
+def evaluate_dataset(
+    separate_fn,
+    dataset,
+    *,
+    fs: int = 8000,
+    batch_size: int = 4,
+    bucket_multiple: int = 4096,
+    nfe: int = 60,
+    mesh=None,
+    out_dir: Optional[str] = None,
+    split_name: str = "test",
+    limit: Optional[int] = None,
+    metric_workers: int = 4,
+    seed: int = 0,
+) -> Dict:
+    """Evaluate `separate_fn(key, mix (B,1,T)) -> est (B,n,T)` over a
+    dataset of (mix, target) items.
+
+    Returns {"results": per-utterance dict, "summary": mean dict}; writes
+    `<split>.json` and `<split>_summary.json` when out_dir is given
+    (reference: src/evaluate_mp.py:516-529).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_items = len(dataset) if limit is None else min(limit, len(dataset))
+    # group indices into static-length buckets
+    lengths = [dataset[i][0].shape[-1] for i in range(n_items)]
+    buckets: Dict[int, list] = {}
+    for i, L in enumerate(lengths):
+        b = -(-L // bucket_multiple) * bucket_multiple
+        buckets.setdefault(b, []).append(i)
+
+    sharding = None
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("data"))
+
+    results: Dict[str, Dict] = {}
+    pool = ThreadPoolExecutor(metric_workers)
+    futures = {}
+    key = jax.random.PRNGKey(seed)
+
+    for blen, idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start:start + batch_size]
+            items = [dataset[i] for i in chunk]
+            n_real = len(items)
+            while len(items) < batch_size:  # static batch shape
+                items.append(items[-1])
+            mix_b, tgt_b = max_collator(items, pad_to=blen)
+            mix_j = jax.numpy.asarray(mix_b)
+            if sharding is not None:
+                mix_j = jax.device_put(mix_j, sharding)
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            est = separate_fn(sub, mix_j)
+            est = jax.block_until_ready(est)
+            runtime = (time.perf_counter() - t0) / n_real
+            est = np.asarray(est)
+            for bi in range(n_real):
+                i = chunk[bi]
+                L = lengths[i]
+                pad = blen - L
+                lo = pad // 2  # max_collator centers
+                sl = slice(lo, lo + L)
+                futures[i] = pool.submit(
+                    _metrics_entry, i, np.asarray(mix_b[bi][:, sl]),
+                    est[bi][:, sl], np.asarray(tgt_b[bi][:, sl]), fs,
+                    runtime, nfe)
+
+    for i, fut in futures.items():
+        results[str(i)] = fut.result()
+    pool.shutdown()
+
+    summary = _summarize(results)
+    if out_dir is not None:
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / f"{split_name}.json", "w") as f:
+            json.dump(results, f, indent=0)
+        with open(out / f"{split_name}_summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+    return {"results": results, "summary": summary}
+
+
+def _metrics_entry(idx, mix, est, target, fs, runtime, nfe) -> Dict:
+    m = compute_metrics(mix, est, target, fs=fs)
+    return {
+        "batch_idx": idx,
+        "si_sdr": [m["si_sdr"]],
+        "si_sir": [m["si_sir"]],
+        "si_sar": [m["si_sar"]],
+        "pesq": [m["pesq"]],
+        "stoi": [m["stoi"]],
+        "nfe": nfe,
+        "runtime": runtime,
+        "len_s": target.shape[-1] / fs,
+    }
+
+
+def _summarize(results: Dict[str, Dict]) -> Dict:
+    """Mean over utterances (reference: src/evaluate_mp.py:192-209)."""
+    if not results:
+        return {}
+    keys = ["si_sdr", "si_sir", "si_sar", "pesq", "stoi", "nfe", "runtime",
+            "len_s", "batch_idx"]
+    out = {}
+    for k in keys:
+        vals = []
+        for r in results.values():
+            v = r.get(k)
+            vals.append(np.nanmean(np.asarray(v, dtype=np.float64)))
+        out[k] = float(np.nanmean(vals))
+    out["number"] = len(results)
+    # match reference key order: batch_idx first
+    ordered = {"batch_idx": out.pop("batch_idx")}
+    ordered.update({k: out[k] for k in
+                    ["si_sdr", "si_sir", "si_sar", "pesq", "stoi", "nfe",
+                     "runtime", "len_s", "number"]})
+    return ordered

@@ -1,0 +1,239 @@
+"""Separation / enhancement metrics: SI-SDR/SI-SIR/SI-SAR (BSS eval),
+STOI/ESTOI, PESQ (optional).
+
+Replaces the reference's external metric stack — fast_bss_eval
+(reference: src/evaluate_mp.py:171-189), pystoi and pesq
+(src/evaluate_mp.py:29-31) — none of which exist in the TPU image.
+
+* SI-SDR/SIR/SAR follow the scale-invariant BSS eval definitions
+  (Le Roux et al. 2019) with brute-force permutation resolution, matching
+  fast_bss_eval.si_bss_eval_sources semantics.
+* STOI/ESTOI implemented from Taal et al. 2011 / Jensen & Taal 2016
+  (the pystoi algorithm): 10 kHz resample, silent-frame removal,
+  third-octave bands, 384 ms segments.
+* PESQ (ITU-T P.862) is only available through the optional `pesq`
+  package; `pesq_metric` returns NaN when it is absent.
+
+All metrics are host-side numpy (they run on CPU threads while the TPU
+samples the next batch).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------- BSS eval --
+def _si_bss_decomp(est: np.ndarray, refs: np.ndarray, j: int,
+                   eps: float = 1e-10):
+    """Decompose est into target/interference/artifact parts w.r.t.
+    reference j (scale-invariant, no filtering)."""
+    s = refs[j]
+    s_target = (est @ s) / max(s @ s, eps) * s
+    # projection onto the span of all references
+    g = refs @ refs.T  # (n, n) Gram
+    d = refs @ est     # (n,)
+    try:
+        c = np.linalg.solve(g + eps * np.eye(g.shape[0]), d)
+    except np.linalg.LinAlgError:
+        c = np.linalg.lstsq(g, d, rcond=None)[0]
+    p_s = c @ refs
+    e_interf = p_s - s_target
+    e_artif = est - p_s
+    return s_target, e_interf, e_artif
+
+
+def _db(num: float, den: float, eps: float = 1e-10) -> float:
+    return 10.0 * np.log10(max(num, eps) / max(den, eps))
+
+
+def si_bss_eval_sources(
+    ref: np.ndarray, est: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Scale-invariant SDR/SIR/SAR with optimal permutation.
+
+    Args: ref, est (n_src, T).
+    Returns (sdr, sir, sar, perm) each (n_src,) -- the same contract as
+    fast_bss_eval.si_bss_eval_sources (reference: src/evaluate_mp.py:176).
+    """
+    n = ref.shape[0]
+    ref = ref - ref.mean(axis=-1, keepdims=True)
+    est = est - est.mean(axis=-1, keepdims=True)
+
+    sdr_mat = np.zeros((n, n))
+    sir_mat = np.zeros((n, n))
+    sar_mat = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            s_t, e_i, e_a = _si_bss_decomp(est[i], ref, j)
+            sdr_mat[i, j] = _db(s_t @ s_t, (e_i + e_a) @ (e_i + e_a))
+            sir_mat[i, j] = _db(s_t @ s_t, e_i @ e_i)
+            sar_mat[i, j] = _db((s_t + e_i) @ (s_t + e_i), e_a @ e_a)
+    best, best_perm = -np.inf, tuple(range(n))
+    for p in itertools.permutations(range(n)):
+        v = np.mean([sdr_mat[i, p[i]] for i in range(n)])
+        if v > best:
+            best, best_perm = v, p
+    idx = np.asarray(best_perm)
+    rows = np.arange(n)
+    return (sdr_mat[rows, idx], sir_mat[rows, idx], sar_mat[rows, idx], idx)
+
+
+# ----------------------------------------------------------------- STOI --
+_STOI_FS = 10000
+_STOI_NFRAME = 256
+_STOI_NFFT = 512
+_STOI_NBANDS = 15
+_STOI_MINFREQ = 150.0
+_STOI_N = 30  # frames per segment (384 ms)
+_STOI_BETA = -15.0
+_STOI_DYN_RANGE = 40.0
+
+
+def _thirdoct(fs: int, nfft: int, num_bands: int, min_freq: float):
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands, dtype=np.float64)
+    cf = 2.0 ** (k / 3.0) * min_freq
+    lo = cf * 2.0 ** (-1.0 / 6.0)
+    hi = cf * 2.0 ** (1.0 / 6.0)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo_i = np.argmin(np.square(f - lo[i]))
+        hi_i = np.argmin(np.square(f - hi[i]))
+        obm[i, lo_i:hi_i] = 1.0
+    return obm
+
+
+def _stoi_frames(x: np.ndarray, nframe: int, hop: int) -> np.ndarray:
+    n = 1 + max(0, (len(x) - nframe)) // hop
+    w = np.hanning(nframe + 2)[1:-1]
+    out = np.stack([x[i * hop:i * hop + nframe] * w for i in range(n)])
+    return out
+
+
+def _remove_silent_frames(x, y, dyn_range, nframe, hop):
+    w = np.hanning(nframe + 2)[1:-1]
+    n = 1 + max(0, (len(x) - nframe)) // hop
+    frames_x = np.stack([x[i * hop:i * hop + nframe] * w for i in range(n)])
+    energies = 20 * np.log10(np.linalg.norm(frames_x, axis=1) + 1e-20)
+    mask = energies > (np.max(energies) - dyn_range)
+    frames_y = np.stack([y[i * hop:i * hop + nframe] * w for i in range(n)])
+    fx, fy = frames_x[mask], frames_y[mask]
+    if len(fx) == 0:
+        return x, y
+    # overlap-add reconstruction
+    t = (len(fx) - 1) * hop + nframe
+    xs = np.zeros(t)
+    ys = np.zeros(t)
+    norm = np.zeros(t)
+    for i in range(len(fx)):
+        sl = slice(i * hop, i * hop + nframe)
+        xs[sl] += fx[i]
+        ys[sl] += fy[i]
+        norm[sl] += w ** 2
+    norm = np.where(norm > 1e-8, norm, 1.0)
+    return xs / norm, ys / norm
+
+
+def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int,
+         extended: bool = True) -> float:
+    """(E)STOI intelligibility in ~[0, 1]."""
+    from scipy.signal import resample_poly
+
+    x = np.asarray(clean, np.float64).reshape(-1)
+    y = np.asarray(degraded, np.float64).reshape(-1)
+    if fs != _STOI_FS:
+        g = np.gcd(fs, _STOI_FS)
+        x = resample_poly(x, _STOI_FS // g, fs // g)
+        y = resample_poly(y, _STOI_FS // g, fs // g)
+    hop = _STOI_NFRAME // 2
+    x, y = _remove_silent_frames(x, y, _STOI_DYN_RANGE, _STOI_NFRAME, hop)
+    if len(x) < _STOI_NFRAME:
+        return float("nan")
+    fx = _stoi_frames(x, _STOI_NFRAME, hop)
+    fy = _stoi_frames(y, _STOI_NFRAME, hop)
+    spec_x = np.abs(np.fft.rfft(fx, _STOI_NFFT, axis=1)) ** 2
+    spec_y = np.abs(np.fft.rfft(fy, _STOI_NFFT, axis=1)) ** 2
+    obm = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
+    bx = np.sqrt(spec_x @ obm.T).T  # (J, T)
+    by = np.sqrt(spec_y @ obm.T).T
+    n_seg = bx.shape[1] - _STOI_N + 1
+    if n_seg <= 0:
+        return float("nan")
+    eps = 1e-15
+    if extended:
+        vals = []
+        for m in range(n_seg):
+            xs = bx[:, m:m + _STOI_N]
+            ys = by[:, m:m + _STOI_N]
+            # row (band) normalization over time
+            xs = xs - xs.mean(axis=1, keepdims=True)
+            xs = xs / (np.linalg.norm(xs, axis=1, keepdims=True) + eps)
+            ys = ys - ys.mean(axis=1, keepdims=True)
+            ys = ys / (np.linalg.norm(ys, axis=1, keepdims=True) + eps)
+            # column (time) normalization over bands
+            xs = xs - xs.mean(axis=0, keepdims=True)
+            xs = xs / (np.linalg.norm(xs, axis=0, keepdims=True) + eps)
+            ys = ys - ys.mean(axis=0, keepdims=True)
+            ys = ys / (np.linalg.norm(ys, axis=0, keepdims=True) + eps)
+            vals.append(np.sum(xs * ys) / _STOI_N)
+        return float(np.mean(vals))
+    # classic STOI with clipping
+    c = 10.0 ** (-_STOI_BETA / 20.0)
+    vals = []
+    for m in range(n_seg):
+        xs = bx[:, m:m + _STOI_N]
+        ys = by[:, m:m + _STOI_N]
+        alpha = (np.linalg.norm(xs, axis=1, keepdims=True)
+                 / (np.linalg.norm(ys, axis=1, keepdims=True) + eps))
+        ys_c = np.minimum(ys * alpha, xs * (1 + c))
+        xs_n = xs - xs.mean(axis=1, keepdims=True)
+        ys_n = ys_c - ys_c.mean(axis=1, keepdims=True)
+        corr = np.sum(xs_n * ys_n, axis=1) / (
+            np.linalg.norm(xs_n, axis=1) * np.linalg.norm(ys_n, axis=1)
+            + eps)
+        vals.append(np.mean(corr))
+    return float(np.mean(vals))
+
+
+# ----------------------------------------------------------------- PESQ --
+def pesq_metric(ref: np.ndarray, est: np.ndarray, fs: int,
+                mode: str = "nb") -> float:
+    """ITU-T P.862 PESQ via the optional `pesq` package; NaN if absent
+    (reference uses pesq directly, src/evaluate_mp.py:29)."""
+    try:
+        from pesq import pesq as _pesq
+    except ImportError:
+        return float("nan")
+    try:
+        return float(_pesq(fs, np.asarray(ref, np.float64).reshape(-1),
+                           np.asarray(est, np.float64).reshape(-1), mode))
+    except Exception:
+        return float("nan")
+
+
+def compute_metrics(mix: np.ndarray, est: np.ndarray, target: np.ndarray,
+                    fs: int = 8000) -> Dict[str, object]:
+    """Per-utterance metric dict matching the reference's schema
+    (reference: src/evaluate_mp.py:171-189): si_sdr/si_sir/si_sar lists,
+    mean pesq and estoi over permutation-aligned sources."""
+    sdr, sir, sar, perm = si_bss_eval_sources(target, est)
+    est_p = est[np.argsort(perm)] if False else est
+    # align est to targets via perm: est[i] matches target[perm[i]]
+    aligned = np.empty_like(est)
+    for i, j in enumerate(perm):
+        aligned[j] = est[i]
+    pesq_vals = [pesq_metric(target[j], aligned[j], fs)
+                 for j in range(target.shape[0])]
+    stoi_vals = [stoi(target[j], aligned[j], fs, extended=True)
+                 for j in range(target.shape[0])]
+    return {
+        "si_sdr": [float(v) for v in sdr],
+        "si_sir": [float(v) for v in sir],
+        "si_sar": [float(v) for v in sar],
+        "perm": [int(v) for v in perm],
+        "pesq": float(np.mean(pesq_vals)),
+        "stoi": float(np.mean(stoi_vals)),
+    }

@@ -23,17 +23,31 @@ from ditsep_tpu.ops import stft as _stft, istft as _istft
 Array = jax.Array
 
 
+def _mag_rescale(spec: Array, new_mag_over_mag) -> Array:
+    """Rescale a complex spectrogram's magnitude, keeping phase:
+    ``|s| -> f(|s|)`` computed as ``s * f(|s|)/|s|``.
+
+    The reference computes ``f(|s|) * exp(1j*angle(s))``
+    (reference: score_models.py:41-70); multiplying by the ratio instead
+    avoids atan2 + complex-exp (slower VPU transcendentals, and the
+    atan2/exp composition is unimplemented in the experimental TPU
+    backend). At s=0 both definitions give 0; we guard the ratio there."""
+    mag = jnp.abs(spec)
+    safe = jnp.maximum(mag, 1e-20)
+    ratio = new_mag_over_mag(safe)
+    return spec * jnp.where(mag > 0, ratio, 0.0)
+
+
 def _spec_transform_forward(spec: Array, transform: str, exponent: float,
                             factor: float) -> Array:
     """Magnitude-compression transform (reference: score_models.py:41-57)."""
     if transform == "exponent":
         if exponent != 1.0:
             e = abs(exponent)
-            mag = jnp.abs(spec)
-            spec = mag ** e * jnp.exp(1j * jnp.angle(spec))
+            spec = _mag_rescale(spec, lambda m: m ** (e - 1.0))
         return spec * factor
     if transform == "log":
-        spec = jnp.log1p(jnp.abs(spec)) * jnp.exp(1j * jnp.angle(spec))
+        spec = _mag_rescale(spec, lambda m: jnp.log1p(m) / m)
         return spec * abs(factor)
     if transform == "none":
         return spec
@@ -47,12 +61,11 @@ def _spec_transform_backward(spec: Array, transform: str, exponent: float,
         spec = spec / abs(factor)
         if exponent != 1.0:
             e = abs(exponent)
-            mag = jnp.abs(spec)
-            spec = mag ** (1.0 / e) * jnp.exp(1j * jnp.angle(spec))
+            spec = _mag_rescale(spec, lambda m: m ** (1.0 / e - 1.0))
         return spec
     if transform == "log":
         spec = spec / abs(factor)
-        return (jnp.exp(jnp.abs(spec)) - 1.0) * jnp.exp(1j * jnp.angle(spec))
+        return _mag_rescale(spec, lambda m: (jnp.exp(m) - 1.0) / m)
     if transform == "none":
         return spec
     raise ValueError("transform must be one of 'exponent'|'log'|'none'")

@@ -59,13 +59,48 @@ def _stft_bases(n_fft: int, window_key: str = "hann"):
 
 
 def frame_signal(x: Array, n_fft: int, hop_length: int) -> Array:
-    """(..., T) -> (..., n_frames, n_fft) overlapping frames (static gather)."""
+    """(..., T) -> (..., n_frames, C*hop) overlapping frames where
+    C = ceil(n_fft/hop); the last C*hop - n_fft columns are padding.
+
+    TPU-native framing: gathers serialize on the TPU scalar unit, so
+    instead the signal is reshaped into hop-sized rows and each frame is a
+    concat of C consecutive row-slices -- pure reshape/slice ops that XLA
+    folds into the downstream DFT matmul's operand layout."""
     t = x.shape[-1]
-    n_frames = 1 + (t - n_fft) // hop_length
-    idx = (
-        np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    )
-    return x[..., idx]
+    h = hop_length
+    n_frames = 1 + (t - n_fft) // h
+    c = -(-n_fft // h)  # chunks per frame
+    # rows r = x[r*h:(r+1)*h]; frame k = rows k..k+c-1
+    n_rows = n_frames + c - 1
+    pad = n_rows * h - t
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    elif pad < 0:
+        x = x[..., : n_rows * h]
+    rows = x.reshape(x.shape[:-1] + (n_rows, h))
+    frames = jnp.concatenate(
+        [rows[..., j : j + n_frames, :] for j in range(c)], axis=-1)
+    return frames  # (..., n_frames, c*h)
+
+
+def overlap_add(frames: Array, hop_length: int) -> Array:
+    """(..., n_frames, C*hop) -> (..., (n_frames+C-1)*hop) overlap-add.
+
+    TPU-native OLA: scatter-add serializes on TPU, so each frame is split
+    into C hop-sized chunks and chunk j of all frames is shift-padded by j
+    rows, then the C shifted copies are summed -- pure pad/add/reshape."""
+    h = hop_length
+    n_frames = frames.shape[-2]
+    c = frames.shape[-1] // h
+    chunks = frames.reshape(frames.shape[:-1] + (c, h))
+    out_rows = n_frames + c - 1
+    total = None
+    for j in range(c):
+        shifted = jnp.pad(
+            chunks[..., j, :],
+            [(0, 0)] * (frames.ndim - 2) + [(j, c - 1 - j), (0, 0)])
+        total = shifted if total is None else total + shifted
+    return total.reshape(frames.shape[:-2] + (out_rows * h,))
 
 
 def stft(
@@ -73,16 +108,26 @@ def stft(
     n_fft: int = 510,
     hop_length: int = 128,
     center: bool = True,
+    normalized: bool = False,
 ) -> Array:
-    """(..., T) -> (..., F, n_frames) complex64 spectrogram."""
-    cos_b, msin_b, _ = _stft_bases(n_fft)
+    """(..., T) -> (..., F, n_frames) complex64 spectrogram.
+
+    `normalized` divides by sqrt(sum(win^2)) (torch.stft 'window'
+    normalization, used by the Encodec discriminator's Spectrogram)."""
+    cos_b, msin_b, win = _stft_bases(n_fft)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
-    frames = frame_signal(x, n_fft, hop_length)  # (..., frames, n_fft)
+    frames = frame_signal(x, n_fft, hop_length)  # (..., frames, c*hop)
+    fw = frames.shape[-1]
+    if fw > n_fft:  # frame rows are padded to a hop multiple; extend bases
+        cos_b = np.pad(cos_b, ((0, fw - n_fft), (0, 0)))
+        msin_b = np.pad(msin_b, ((0, fw - n_fft), (0, 0)))
     re = frames @ jnp.asarray(cos_b, dtype=frames.dtype)
     im = frames @ jnp.asarray(msin_b, dtype=frames.dtype)
     spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    if normalized:
+        spec = spec / np.sqrt(np.sum(win.astype(np.float64) ** 2))
     return jnp.swapaxes(spec, -1, -2)  # (..., F, frames)
 
 
@@ -109,19 +154,22 @@ def istft(
     inv_cos = (cos_f * mult[None, :] / n_fft).astype(np.float32).T  # (F, n_fft)
     inv_sin = (msin_f * mult[None, :] / n_fft).astype(np.float32).T
 
+    # fold window and hop-padding into the synthesis bases so the whole
+    # irfft + window is one matmul; overlap-add is shift-pad sums (no
+    # scatter -- see overlap_add)
+    c = -(-n_fft // hop_length)
+    fw = c * hop_length
+    inv_cos_w = np.pad(inv_cos * win[None, :], ((0, 0), (0, fw - n_fft)))
+    inv_sin_w = np.pad(inv_sin * win[None, :], ((0, 0), (0, fw - n_fft)))
     frames = (
-        jnp.real(spec) @ jnp.asarray(inv_cos)
-        + jnp.imag(spec) @ jnp.asarray(inv_sin)
-    )  # (..., frames, n_fft)
-    frames = frames * jnp.asarray(win)
+        jnp.real(spec) @ jnp.asarray(inv_cos_w)
+        + jnp.imag(spec) @ jnp.asarray(inv_sin_w)
+    )  # (..., frames, c*hop)
 
     t_full = (n_frames - 1) * hop_length + n_fft
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, n_frames, n_fft))
-    out = jnp.zeros((flat.shape[0], t_full), dtype=frames.dtype)
-    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+    flat = frames.reshape((-1, n_frames, fw))
+    out = overlap_add(flat, hop_length)[:, :t_full]
 
     # squared-window overlap-add envelope (constant, folded at trace time)
     env = np.zeros((t_full,), dtype=np.float64)

@@ -86,6 +86,15 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Any
 
 
+
+def _batch_mean(x: Array) -> Array:
+    """Mean over all non-batch axes -> (B,). Generalizes the reference's
+    .mean(dim=(-2,-1)) to both waveform (B,n,T) and latent (B,n,D,T) states
+    (reference reduces latent losses per-source then averages; we fold the
+    source axis into the same mean -- identical after the final scalar
+    mean)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
 def _perms(n: int):
     return list(itertools.permutations(range(n)))
 
@@ -171,7 +180,7 @@ class DiffSepTrainer:
         x_t = mean + self.sde.mult_std(L, z)
         pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
         l_score = self.sde.mult_std(L, pred)
-        return jnp.mean((l_score + z) ** 2, axis=(-2, -1))
+        return _batch_mean((l_score + z) ** 2)
 
     def compute_score_loss_init_hack_pit(self, params, key, mix, target, *,
                                          train=False, rngs=None) -> Array:
@@ -195,7 +204,7 @@ class DiffSepTrainer:
                 z_p = z0
             else:
                 z_p = z0 + self.sde.mult_std_inv(L_p, anchor - mean_p)
-            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+            losses.append(_batch_mean((l_pred + z_p) ** 2))
         return jnp.min(jnp.stack(losses, axis=0), axis=0)
 
     def compute_score_loss_with_pit(self, params, key, mix, target, *,
@@ -223,9 +232,12 @@ class DiffSepTrainer:
 
         # model-mismatch-to-noise ratio (reference: :206-216)
         err = means - mean_sel[:, None]
-        n_elems = (len(perms) - 1) * n_src * target.shape[-1]
-        err_pow = jnp.sum(err ** 2, axis=(1, 2, 3)) / n_elems
-        noise_pow = jnp.mean(lz ** 2, axis=(1, 2))
+        n_state = 1
+        for d in target.shape[1:]:
+            n_state *= d
+        n_elems = (len(perms) - 1) * n_state
+        err_pow = jnp.sum(err ** 2, axis=tuple(range(1, err.ndim))) / n_elems
+        noise_pow = _batch_mean(lz ** 2)
         mmnr = 10.0 * jnp.log10(
             err_pow / jnp.clip(noise_pow, min=1e-5))
         use_pit = mmnr < cfg.mmnr_thresh_pit
@@ -237,9 +249,9 @@ class DiffSepTrainer:
         for i in range(len(perms)):
             # reference sign quirk preserved (see module docstring)
             z_p = z + self.sde.mult_std_inv(L, err[:, i])
-            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+            losses.append(_batch_mean((l_pred + z_p) ** 2))
         loss_pit = jnp.min(jnp.stack(losses, axis=0), axis=0)
-        loss_reg = jnp.mean((l_pred + z) ** 2, axis=(-2, -1))
+        loss_reg = _batch_mean((l_pred + z) ** 2)
         return jnp.where(use_pit, loss_pit, loss_reg)
 
     def compute_score_loss_with_pit_allthetime(self, params, key, mix,
@@ -258,7 +270,7 @@ class DiffSepTrainer:
         for p in _perms(target.shape[1]):
             mean_p, _ = self._marginal(target[:, p, :], time, mix)
             z_p = z0 + self.sde.mult_std_inv(L, mean_0 - mean_p)
-            losses.append(jnp.mean((l_pred + z_p) ** 2, axis=(-2, -1)))
+            losses.append(_batch_mean((l_pred + z_p) ** 2))
         return jnp.min(jnp.stack(losses, axis=0), axis=0)
 
     # -- init-hack train-step mixtures --------------------------------------

@@ -1,0 +1,137 @@
+"""Checkpoint / resume: orbax-backed state persistence with top-k and
+best-model symlink semantics.
+
+Re-design of the reference checkpointing stack (reference:
+Lightning ModelCheckpoint(save_top_k=20, monitor='val/si_sdr', mode='max')
+src/train_diffsep.py:116-124; EMA embedded in checkpoints
+src/diffsep.py:578-609; best-model symlink monkey-patch
+src/utils/checkpoint_symlink.py:8-43). The EMA params live inside the
+TrainState tree, so one save captures everything needed for resume AND for
+eval-with-EMA.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+class CheckpointManager:
+    """Top-k checkpoint manager keyed by a monitored metric."""
+
+    def __init__(self, directory: str, monitor: str = "val/si_sdr",
+                 mode: str = "max", save_top_k: int = 20):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self._index_path = self.dir / "index.json"
+        self._index: Dict[str, float] = {}
+        if self._index_path.exists():
+            self._index = json.loads(self._index_path.read_text())
+
+    def _ckpt_name(self, step: int, metric: float) -> str:
+        key = self.monitor.replace("/", "_")
+        return f"step-{step:08d}_{key}-{metric:.3f}"
+
+    def save(self, state: Any, step: int, metrics: Dict[str, float]) -> str:
+        """Save `state` (any pytree); prune to top-k; refresh best link."""
+        ocp = _ocp()
+        metric = float(metrics.get(self.monitor, float("nan")))
+        name = self._ckpt_name(step, metric)
+        path = self.dir / name
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path.absolute(), state)
+        ckptr.wait_until_finished()
+        (path / "metrics.json").write_text(json.dumps(
+            {k: float(v) for k, v in metrics.items()}, indent=1))
+        self._index[name] = metric
+        self._prune()
+        self._write_index()
+        self._update_best_symlink()
+        return str(path)
+
+    def _prune(self):
+        if len(self._index) <= self.save_top_k:
+            return
+        rev = self.mode == "max"
+        ranked = sorted(self._index.items(), key=lambda kv: kv[1],
+                        reverse=rev)
+        for name, _ in ranked[self.save_top_k:]:
+            p = self.dir / name
+            if p.exists():
+                shutil.rmtree(p)
+            self._index.pop(name, None)
+
+    def _write_index(self):
+        self._index_path.write_text(json.dumps(self._index, indent=1))
+
+    def _update_best_symlink(self):
+        """best-model symlink (reference: src/utils/checkpoint_symlink.py:
+        8-43 symlink_force)."""
+        if not self._index:
+            return
+        rev = self.mode == "max"
+        best = sorted(self._index.items(), key=lambda kv: kv[1],
+                      reverse=rev)[0][0]
+        link = self.dir / "best-model"
+        tmp = self.dir / ".best-model.tmp"
+        if tmp.exists() or tmp.is_symlink():
+            tmp.unlink()
+        os.symlink(best, tmp)
+        os.replace(tmp, link)
+
+    def best_path(self) -> Optional[str]:
+        link = self.dir / "best-model"
+        return str(link.resolve()) if link.exists() else None
+
+    def latest_path(self) -> Optional[str]:
+        if not self._index:
+            return None
+        name = sorted(self._index)[-1]
+        return str(self.dir / name)
+
+    def restore(self, template: Any, path: Optional[str] = None) -> Any:
+        """Restore into the structure/shardings of `template`."""
+        ocp = _ocp()
+        if path is None:
+            path = self.best_path() or self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {self.dir}")
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(Path(path).absolute(), target=template)
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Flat .npz export (the `unwrap_model` equivalent: bare inference
+    weights, reference: src/training/unwrap_model.py:7-135)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        out[key] = np.asarray(leaf)
+    np.savez(path, **out)
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        arr = data[key]
+        assert arr.shape == np.asarray(leaf).shape, (key, arr.shape)
+        leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)

@@ -1,0 +1,161 @@
+"""Data layer and evaluation harness tests."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ditsep_tpu.data import (
+    BucketedLoader, LatentDataset, SyntheticMixDataset, max_collator,
+    read_wav, save_latent_cache, save_latent_metadata, write_wav,
+)
+from ditsep_tpu.eval import (
+    compute_metrics, evaluate_dataset, si_bss_eval_sources, stoi,
+)
+
+
+# ---------------------------------------------------------------- data ----
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 8000)).astype(np.float32) * 0.5
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 8000)
+    y, fs = read_wav(p)
+    assert fs == 8000
+    np.testing.assert_allclose(y.reshape(-1), x, atol=1e-3)
+
+
+def test_synthetic_dataset_shapes():
+    ds = SyntheticMixDataset(n_items=4, n_spkr=2)
+    mix, tgt = ds[0]
+    assert mix.shape[0] == 1 and tgt.shape[0] == 2
+    assert mix.shape[-1] == tgt.shape[-1]
+    np.testing.assert_allclose(mix[0], tgt.sum(0), atol=1e-5)
+
+
+def test_max_collator_pads_centered():
+    a = (np.ones((1, 10), np.float32), np.ones((2, 10), np.float32))
+    b = (np.ones((1, 6), np.float32), np.ones((2, 6), np.float32))
+    mix, tgt = max_collator([a, b])
+    assert mix.shape == (2, 1, 10) and tgt.shape == (2, 2, 10)
+    assert mix[1, 0, 0] == 0 and mix[1, 0, 2] == 1  # centered pad
+
+
+def test_bucketed_loader_static_shapes():
+    ds = SyntheticMixDataset(n_items=12, min_len_s=1.0, max_len_s=5.0)
+    loader = BucketedLoader(ds, batch_size=2, n_buckets=3, multiple=2048)
+    shapes = set()
+    count = 0
+    for mix, tgt in loader:
+        assert mix.shape[0] == 2
+        assert mix.shape[-1] % 2048 == 0
+        shapes.add(mix.shape[-1])
+        count += mix.shape[0]
+    assert count >= len(ds)
+    assert len(shapes) <= 3 + 1
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    ds = SyntheticMixDataset(n_items=3)
+    for i in range(3):
+        save_latent_cache(str(tmp_path), i,
+                          np.random.randn(2, 4, 16).astype(np.float32))
+    save_latent_metadata(str(tmp_path), range(3))
+    lds = LatentDataset(str(tmp_path), ds)
+    tgt, lat = lds[1]
+    assert lat.shape == (2, 4, 16)
+    assert tgt.shape[0] == 2
+
+
+# ------------------------------------------------------------- metrics ----
+def test_si_bss_eval_perfect():
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((2, 4000))
+    sdr, sir, sar, perm = si_bss_eval_sources(ref, ref.copy())
+    assert np.all(sdr > 60)
+    assert list(perm) == [0, 1]
+
+
+def test_si_bss_eval_permuted_and_noisy():
+    rng = np.random.default_rng(1)
+    ref = rng.standard_normal((2, 4000))
+    est = ref[::-1] + 0.1 * rng.standard_normal((2, 4000))
+    sdr, sir, sar, perm = si_bss_eval_sources(ref, est)
+    assert list(perm) == [1, 0]
+    assert np.all(sdr > 10) and np.all(sdr < 30)
+    assert np.all(sir >= sdr - 1e-6)
+
+
+def test_si_bss_eval_interference():
+    """An estimate contaminated by the other source has low SIR."""
+    rng = np.random.default_rng(2)
+    ref = rng.standard_normal((2, 4000))
+    est = np.stack([ref[0] + 0.5 * ref[1], ref[1]])
+    sdr, sir, sar, perm = si_bss_eval_sources(ref, est)
+    assert sir[0] < 12.0
+    assert sar[0] > sdr[0]
+
+
+def test_stoi_properties():
+    rng = np.random.default_rng(0)
+    t = 8000 * 3
+    clean = rng.standard_normal(t) * 0.3
+    v_same = stoi(clean, clean, 8000, extended=True)
+    noisy = clean + 0.8 * rng.standard_normal(t)
+    v_noisy = stoi(clean, noisy, 8000, extended=True)
+    assert 0.95 <= v_same <= 1.001
+    assert v_noisy < v_same
+    v_classic = stoi(clean, noisy, 8000, extended=False)
+    assert 0.0 <= v_classic <= 1.001
+
+
+def test_compute_metrics_schema():
+    rng = np.random.default_rng(0)
+    tgt = rng.standard_normal((2, 16000)).astype(np.float32) * 0.3
+    mix = tgt.sum(0, keepdims=True)
+    est = tgt + 0.05 * rng.standard_normal((2, 16000)).astype(np.float32)
+    m = compute_metrics(mix, est, tgt, fs=8000)
+    assert set(m) == {"si_sdr", "si_sir", "si_sar", "perm", "pesq", "stoi"}
+    assert len(m["si_sdr"]) == 2
+    assert np.isnan(m["pesq"]) or m["pesq"] > 0  # pesq pkg optional
+
+
+# ---------------------------------------------------------- eval harness --
+def test_evaluate_dataset_end_to_end(tmp_path):
+    """Oracle separator (returns the true sources) must score near-perfect
+    and produce reference-schema JSON artifacts."""
+    ds = SyntheticMixDataset(n_items=6, min_len_s=1.0, max_len_s=2.0)
+
+    targets = {i: ds[i][1] for i in range(len(ds))}
+
+    def separate_fn(key, mix):
+        # cheat: look up targets by matching batch content on host
+        out = []
+        mix_np = np.asarray(mix)
+        for b in range(mix_np.shape[0]):
+            found = None
+            for i, tgt in targets.items():
+                t = tgt.shape[-1]
+                T = mix_np.shape[-1]
+                pad = T - t
+                if pad < 0:
+                    continue
+                lo = pad // 2
+                padded = np.pad(tgt.sum(0), (lo, pad - lo))
+                if np.allclose(padded, mix_np[b, 0], atol=1e-5):
+                    found = np.pad(tgt, ((0, 0), (lo, pad - lo)))
+                    break
+            out.append(found)
+        return jnp.asarray(np.stack(out))
+
+    res = evaluate_dataset(
+        separate_fn, ds, fs=8000, batch_size=2, bucket_multiple=4096,
+        out_dir=str(tmp_path), split_name="synthetic_test")
+    assert res["summary"]["number"] == 6
+    assert res["summary"]["si_sdr"] > 40
+    j = json.load(open(tmp_path / "synthetic_test_summary.json"))
+    assert set(j) == {"batch_idx", "si_sdr", "si_sir", "si_sar", "pesq",
+                      "stoi", "nfe", "runtime", "len_s", "number"}
+    per = json.load(open(tmp_path / "synthetic_test.json"))
+    assert len(per) == 6
+    assert "runtime" in per["0"]

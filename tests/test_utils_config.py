@@ -1,0 +1,134 @@
+"""Utils, checkpointing, parallel helpers, config family tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ditsep_tpu.configs import (
+    CONFIG_FAMILIES, build_diffsep_trainer, build_latent_trainer, override,
+)
+from ditsep_tpu.parallel import (
+    data_sharding, is_rank_zero, make_mesh, pad_batch_to_devices, replicated,
+    shard_batch,
+)
+from ditsep_tpu.utils import (
+    AutoClipper, SplitDirectory, StandardScaler, count_parameters,
+    solve_psd_loaded,
+)
+from ditsep_tpu.utils.checkpoint import (
+    CheckpointManager, load_params_npz, save_params_npz,
+)
+
+
+def test_standard_scaler_welford():
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((500, 3)) * np.array([1.0, 2.0, 0.5]) + 1.0
+    sc = StandardScaler(3)
+    for chunk in np.array_split(data, 10):
+        sc.update(chunk)
+    np.testing.assert_allclose(sc.mean, data.mean(0), atol=1e-10)
+    np.testing.assert_allclose(sc.var, data.var(0, ddof=1), atol=1e-10)
+    x = jnp.asarray(data[:5], jnp.float32)
+    z = sc.transform(x)
+    back = sc.inverse_transform(z)
+    np.testing.assert_allclose(np.asarray(back), data[:5], atol=1e-4)
+
+
+def test_autoclipper_percentile():
+    c = AutoClipper(50)
+    ts = [c.threshold(g) for g in [1.0, 2.0, 3.0, 4.0, 5.0]]
+    assert ts[-1] == 3.0  # median of history
+
+
+def test_solve_psd_loaded():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 4))
+    a = a @ a.T + 4 * np.eye(4)
+    b = rng.standard_normal((4, 2))
+    x = solve_psd_loaded(jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32), load=0.0)
+    np.testing.assert_allclose(np.asarray(a @ np.asarray(x)), b, atol=1e-3)
+
+
+def test_split_directory(tmp_path):
+    sd = SplitDirectory(str(tmp_path), max_files=2)
+    paths = [sd.next_path(f"f{i}.txt") for i in range(5)]
+    shards = {os.path.basename(os.path.dirname(p)) for p in paths}
+    assert shards == {"00000", "00001", "00002"}
+
+
+def test_count_parameters():
+    p = {"a": jnp.ones((2, 3)), "b": {"c": jnp.ones((4,))}}
+    assert count_parameters(p) == 10
+
+
+# ---------------------------------------------------------- checkpoint ----
+def test_checkpoint_manager_topk_and_best(tmp_path):
+    state = {"w": jnp.ones((4,)), "step": jnp.zeros((), jnp.int32)}
+    mgr = CheckpointManager(str(tmp_path), monitor="val/si_sdr", mode="max",
+                            save_top_k=2)
+    for step, sdr in [(1, 5.0), (2, 8.0), (3, 3.0), (4, 10.0)]:
+        s = {"w": jnp.ones((4,)) * step,
+             "step": jnp.asarray(step, jnp.int32)}
+        mgr.save(s, step, {"val/si_sdr": sdr})
+    # only top-2 kept: sdr 10.0 (step 4) and 8.0 (step 2)
+    kept = sorted(mgr._index.values())
+    assert kept == [8.0, 10.0]
+    best = mgr.restore(state)
+    assert int(best["step"]) == 4
+    np.testing.assert_allclose(np.asarray(best["w"]), 4.0)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    params = {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                        "bias": jnp.zeros((3,))}}
+    p = str(tmp_path / "params.npz")
+    save_params_npz(p, params)
+    template = jax.tree.map(jnp.zeros_like, params)
+    loaded = load_params_npz(p, template)
+    np.testing.assert_allclose(np.asarray(loaded["layer"]["kernel"]),
+                               np.arange(6.0).reshape(2, 3))
+
+
+# ------------------------------------------------------------ parallel ----
+def test_mesh_and_sharding():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    batch = {"x": np.ones((mesh.devices.size * 2, 3), np.float32)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding.is_equivalent_to(
+        data_sharding(mesh), ndim=2)
+    assert is_rank_zero()
+
+
+def test_pad_batch_to_devices():
+    batch = {"x": np.ones((5, 2), np.float32)}
+    padded, n_real = pad_batch_to_devices(batch, 4)
+    assert padded["x"].shape[0] == 8
+    assert n_real == 5
+
+
+# -------------------------------------------------------------- configs ---
+def test_config_families_and_builders():
+    for name, f in CONFIG_FAMILIES.items():
+        cfg = f()
+        assert "model" in cfg, name
+    tr = build_diffsep_trainer(
+        override(CONFIG_FAMILIES["diffsep"](),
+                 {"model.score_model.nf": 16}))
+    assert tr.cfg.init_hack == 5 and tr.is_matrix
+    tr_sb = build_diffsep_trainer(CONFIG_FAMILIES["diffsep_sb"]())
+    assert tr_sb.is_edm and tr_sb.cfg.init_hack_p == 0.0
+    tr_lat = build_latent_trainer(CONFIG_FAMILIES["latent_diffsep_ouve"]())
+    assert tr_lat.vae.downsampling_ratio == 2048
+    icassp = CONFIG_FAMILIES["diffsep_icassp"]()
+    assert icassp["model"]["score_model"]["nf"] == 128
+
+
+def test_override_deep_copy():
+    base = CONFIG_FAMILIES["diffsep"]()
+    mod = override(base, {"model.sde.sigma_max": 1.0})
+    assert base["model"]["sde"]["sigma_max"] == 0.5
+    assert mod["model"]["sde"]["sigma_max"] == 1.0
