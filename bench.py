@@ -16,6 +16,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the 30-step jitted sampler is a large XLA
+# program (~5-40 min first compile); cache it across processes/rounds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 BASELINE_UTT_PER_S = 1.0 / 3.659  # reference: librimix_test_summary.json
 UTT_SECONDS = 8.415               # mean test-utterance length (summary len_s)
 FS = 8000
@@ -27,9 +33,12 @@ def main():
 
     # flagship config: icassp-separation experiment (nf=128)
     # (reference: src/config/diffsep/experiment/icassp-separation.yaml:16)
+    net_dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
+                 else None)
     model = ScoreModelNCSNpp(num_sources=2, nf=128,
                              ch_mult=(1, 1, 2, 2, 2, 2, 2),
-                             attn_resolutions=(16,), image_size=256)
+                             attn_resolutions=(16,), image_size=256,
+                             dtype=net_dtype)
     sde = MixSDE(N=30)
 
     t_len = int(UTT_SECONDS * FS)

@@ -1,0 +1,62 @@
+"""Shared CLI plumbing: config resolution, dataset construction."""
+from __future__ import annotations
+
+import argparse
+import ast
+from typing import Dict, Optional
+
+from ditsep_tpu.configs import CONFIG_FAMILIES, override
+
+
+def parse_overrides(pairs) -> Dict[str, object]:
+    """Parse 'a.b.c=value' CLI overrides (hydra-style)."""
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def load_config(name: str, overrides=None):
+    if name not in CONFIG_FAMILIES:
+        raise SystemExit(
+            f"unknown config {name!r}; choose from "
+            f"{sorted(CONFIG_FAMILIES)}")
+    return override(CONFIG_FAMILIES[name](), parse_overrides(overrides))
+
+
+def make_dataset(cfg, split: str, data_path: Optional[str],
+                 synthetic: bool = False, synthetic_items: int = 16):
+    if synthetic or data_path is None:
+        from ditsep_tpu.data import SyntheticMixDataset
+        return SyntheticMixDataset(
+            n_items=synthetic_items,
+            n_spkr=cfg["datamodule"].get("n_spkr", 2),
+            fs=cfg["datamodule"].get("fs", 8000))
+    from ditsep_tpu.data import WSJ0Mix
+    dm = cfg["datamodule"]
+    return WSJ0Mix(
+        path=data_path, n_spkr=dm.get("n_spkr", 2), cut=dm.get("cut", "max"),
+        split=dm[split]["split"], fs=dm.get("fs", 8000),
+        max_len_s=dm.get("max_len_s") if split == "train" else None)
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--config", default="diffsep")
+    p.add_argument("--data-path", default=None,
+                   help="dataset root (wsj0-mix / LibriMix layout)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--workdir", default="./runs/exp")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all devices")
+    p.add_argument("--override", nargs="*", default=[],
+                   help="config overrides a.b.c=value")
+    return p

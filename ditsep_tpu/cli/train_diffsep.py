@@ -1,0 +1,40 @@
+"""Waveform-domain score training entry
+(reference: src/train_diffsep.py:86-195).
+
+    python -m ditsep_tpu.cli.train_diffsep --config diffsep \
+        --data-path /data/librimix --workdir runs/diffsep
+"""
+from __future__ import annotations
+
+import argparse
+
+from ditsep_tpu.cli.common import add_common_args, load_config, make_dataset
+from ditsep_tpu.configs import build_diffsep_trainer
+from ditsep_tpu.training.loop import fit
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.override)
+
+    trainer = build_diffsep_trainer(cfg)
+    train_ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    val_ds = make_dataset(cfg, "val", args.data_path, args.synthetic,
+                          synthetic_items=4)
+
+    mesh = None
+    if args.mesh:
+        from ditsep_tpu.parallel import make_mesh
+        mesh = make_mesh()
+
+    batch_size = args.batch_size or cfg["datamodule"]["train"]["batch_size"]
+    fit(trainer, train_ds, val_ds, workdir=args.workdir,
+        max_epochs=args.max_epochs or cfg["trainer"].get("max_epochs", 1000),
+        batch_size=batch_size, mesh=mesh, seed=args.seed,
+        valid_max_sep_batches=cfg["model"].get("valid_max_sep_batches", 2),
+        max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

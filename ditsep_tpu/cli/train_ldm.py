@@ -1,0 +1,111 @@
+"""LDM decoder-finetune entry (reference: src/train_ldm.py:27-173):
+optionally generate/use a latent cache, then finetune the VAE decoder on
+PIT-MRSTFT (+ GAN) against the clean sources.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ditsep_tpu.cli.common import add_common_args, load_config, make_dataset
+from ditsep_tpu.cli.train_diffsep_latent import init_vae_params
+from ditsep_tpu.configs import build_latent_trainer
+from ditsep_tpu.data import LatentDataset
+from ditsep_tpu.training.ldm import LDMLossWeights, LDMTrainer
+from ditsep_tpu.utils.checkpoint import CheckpointManager
+from ditsep_tpu.utils.logging import MetricsLogger
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p.set_defaults(config="ldm")
+    p.add_argument("--vae-params", default=None)
+    p.add_argument("--latent-cache", required=True,
+                   help="latent cache dir (see cli.cache_latents)")
+    p.add_argument("--use-disc", action="store_true")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.override)
+
+    latent_trainer = build_latent_trainer(cfg)
+    key = jax.random.PRNGKey(args.seed)
+    vae_params = init_vae_params(latent_trainer, args.vae_params, key)
+
+    base_ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    ds = LatentDataset(args.latent_cache, base_ds)
+
+    disc = None
+    disc_params = None
+    tcfg = cfg["training"]
+    if args.use_disc:
+        from ditsep_tpu.models.discriminators import (
+            MultiScaleSTFTDiscriminator)
+        dc = tcfg["loss"]["discriminator"]
+        disc = MultiScaleSTFTDiscriminator(
+            filters=dc["filters"], n_ffts=tuple(dc["n_ffts"]),
+            hop_lengths=tuple(dc["hop_lengths"]))
+        tgt0, _ = ds[0]
+        disc_params = disc.init(key, jnp.asarray(tgt0[None, :1]))
+
+    sp = tcfg["loss"]["spectral"]
+    ldm = LDMTrainer(
+        latent_trainer=latent_trainer, disc=disc,
+        weights=LDMLossWeights(
+            mrstft=sp["weights"]["mrstft"],
+            l1=tcfg["loss"]["time"]["weights"].get("l1", 0.0),
+            fft_sizes=tuple(sp["fft_sizes"]),
+            hop_sizes=tuple(sp["hop_sizes"]),
+            perceptual_weighting=sp["perceptual_weighting"],
+            sample_rate=cfg["datamodule"].get("fs", 8000)),
+        lr=tcfg["lr"], clip_grad_norm=tcfg["clip_grad_norm"],
+        warmup_steps=tcfg["warmup_steps"],
+        warmup_mode=tcfg["warmup_mode"])
+
+    frozen_rest, _ = ldm.split_vae_params(vae_params)
+    state = ldm.init_state(vae_params, disc_params)
+    logger = MetricsLogger(args.workdir)
+    ckpt = CheckpointManager(f"{args.workdir}/checkpoints",
+                             monitor="train/loss", mode="min",
+                             save_top_k=5)
+
+    gen_step = jax.jit(lambda s, l, r, w: ldm.gen_step(
+        s, frozen_rest, l, r, warmed_up=w), static_argnums=(3,))
+    disc_step = jax.jit(lambda s, l, r: ldm.disc_step(s, frozen_rest, l, r))
+
+    batch_size = args.batch_size or 4
+    step = 0
+    max_steps = args.max_steps or 10000
+    epoch = 0
+    while step < max_steps:
+        order = np.random.default_rng(args.seed + epoch).permutation(len(ds))
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[start:start + batch_size]
+            items = [ds[int(i)] for i in idxs]
+            t_min = min(t.shape[-1] for t, _ in items)
+            l_min = min(l.shape[-1] for _, l in items)
+            reals = jnp.asarray(np.stack(
+                [t[..., :t_min] for t, _ in items]))
+            latents = jnp.asarray(np.stack(
+                [l[..., :l_min] for _, l in items]))
+            warmed = step >= ldm.warmup_steps
+            if ldm.use_disc_this_step(step):
+                state, metrics = disc_step(state, latents, reals)
+            else:
+                state, metrics = gen_step(state, latents, reals, warmed)
+            step += 1
+            if step % 10 == 0:
+                logger.log({k: float(v) for k, v in metrics.items()}, step)
+            if step >= max_steps:
+                break
+        epoch += 1
+        ckpt.save(state, step,
+                  {"train/loss": float(metrics.get("train/loss", np.inf))})
+    logger.close()
+    print(f"finished {step} steps; checkpoints in {args.workdir}")
+
+
+if __name__ == "__main__":
+    main()

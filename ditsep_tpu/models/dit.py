@@ -1,0 +1,231 @@
+"""Diffusion transformer (DiT) over latent sequences.
+
+TPU-native re-design of the stable-audio-tools DiffusionTransformer
+(reference: src/stable_audio_tools/models/dit.py:12-428): io projections,
+Fourier timestep embedding, cross-attention / prepend / global (adaLN)
+conditioning, classifier-free guidance with optional rescaling.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ditsep_tpu.models.transformer import ContinuousTransformer
+
+Array = jax.Array
+
+
+class FourierFeatures(nn.Module):
+    """(reference: src/stable_audio_tools/models/blocks.py:85-94)."""
+
+    out_features: int
+    std: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", nn.initializers.normal(self.std),
+                       (self.out_features // 2, x.shape[-1]))
+        w = jax.lax.stop_gradient(w)
+        f = 2 * math.pi * x @ w.T
+        return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
+
+
+class _MLPEmbed(nn.Module):
+    out_dim: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.out_dim, use_bias=self.use_bias, name="dense_0",
+                     dtype=self.dtype)(x)
+        return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                        name="dense_1", dtype=self.dtype)(jax.nn.silu(h))
+
+
+class DiffusionTransformer(nn.Module):
+    """(reference: dit.py:12-428). Input/output (B, C, T) channel-first."""
+
+    io_channels: int = 32
+    patch_size: int = 1
+    embed_dim: int = 768
+    cond_token_dim: int = 0
+    project_cond_tokens: bool = True
+    global_cond_dim: int = 0
+    project_global_cond: bool = True
+    input_concat_dim: int = 0
+    prepend_cond_dim: int = 0
+    depth: int = 12
+    num_heads: int = 8
+    global_cond_type: str = "prepend"  # 'prepend' | 'adaLN'
+    diffusion_objective: str = "v"
+    qk_norm: str = "none"
+    sliding_window: Tuple[int, int] = (-1, -1)
+    dtype: Any = None
+
+    def __call__(self, x: Array, t: Array, *,
+                 cross_attn_cond: Optional[Array] = None,
+                 cross_attn_cond_mask: Optional[Array] = None,
+                 negative_cross_attn_cond: Optional[Array] = None,
+                 input_concat_cond: Optional[Array] = None,
+                 global_embed: Optional[Array] = None,
+                 prepend_cond: Optional[Array] = None,
+                 prepend_cond_mask: Optional[Array] = None,
+                 cfg_scale: float = 1.0,
+                 cfg_dropout_prob: float = 0.0,
+                 scale_phi: float = 0.0,
+                 mask: Optional[Array] = None,
+                 rngs_key: Optional[Array] = None) -> Array:
+        if cfg_dropout_prob > 0.0 and rngs_key is not None \
+                and cross_attn_cond is not None:
+            # CFG dropout: null out conditioning rows at random
+            # (reference: dit.py CFG-dropout branch)
+            keep = jax.random.uniform(
+                rngs_key, (x.shape[0], 1, 1)) >= cfg_dropout_prob
+            cross_attn_cond = jnp.where(keep, cross_attn_cond, 0.0)
+
+        if cfg_scale != 1.0 and (cross_attn_cond is not None
+                                 or prepend_cond is not None
+                                 or global_embed is not None):
+            # batched CFG: run cond and uncond in one doubled batch
+            # (reference: dit.py:330-420)
+            def dbl(a):
+                return None if a is None else jnp.concatenate([a, a], 0)
+
+            null_cross = (negative_cross_attn_cond
+                          if negative_cross_attn_cond is not None
+                          else (jnp.zeros_like(cross_attn_cond)
+                                if cross_attn_cond is not None else None))
+            cc = (jnp.concatenate([cross_attn_cond, null_cross], 0)
+                  if cross_attn_cond is not None else None)
+            pc = (jnp.concatenate(
+                [prepend_cond, jnp.zeros_like(prepend_cond)], 0)
+                if prepend_cond is not None else None)
+            ge = (jnp.concatenate(
+                [global_embed, jnp.zeros_like(global_embed)], 0)
+                if global_embed is not None else None)
+            out = self._forward(
+                dbl(x), dbl(t), cross_attn_cond=cc,
+                cross_attn_cond_mask=dbl(cross_attn_cond_mask),
+                input_concat_cond=dbl(input_concat_cond), global_embed=ge,
+                prepend_cond=pc, prepend_cond_mask=dbl(prepend_cond_mask),
+                mask=dbl(mask))
+            cond_out, uncond_out = jnp.split(out, 2, axis=0)
+            cfg_out = uncond_out + (cond_out - uncond_out) * cfg_scale
+            if scale_phi > 0.0:
+                cond_std = jnp.std(cond_out, axis=(1, 2), keepdims=True)
+                cfg_std = jnp.std(cfg_out, axis=(1, 2), keepdims=True)
+                rescaled = cfg_out * (cond_std / jnp.clip(cfg_std,
+                                                          min=1e-8))
+                return scale_phi * rescaled + (1 - scale_phi) * cfg_out
+            return cfg_out
+        return self._forward(
+            x, t, cross_attn_cond=cross_attn_cond,
+            cross_attn_cond_mask=cross_attn_cond_mask,
+            input_concat_cond=input_concat_cond, global_embed=global_embed,
+            prepend_cond=prepend_cond, prepend_cond_mask=prepend_cond_mask,
+            mask=mask)
+
+    @nn.compact
+    def _forward(self, x, t, *, cross_attn_cond=None,
+                 cross_attn_cond_mask=None, input_concat_cond=None,
+                 global_embed=None, prepend_cond=None,
+                 prepend_cond_mask=None, mask=None):
+        embed_dim = self.embed_dim
+        if cross_attn_cond is not None:
+            ce_dim = embed_dim if self.project_cond_tokens \
+                else self.cond_token_dim
+            cross_attn_cond = _MLPEmbed(
+                ce_dim, use_bias=False, name="to_cond_embed",
+                dtype=self.dtype)(cross_attn_cond)
+        if global_embed is not None:
+            ge_dim = embed_dim if self.project_global_cond \
+                else self.global_cond_dim
+            global_embed = _MLPEmbed(
+                ge_dim, use_bias=False, name="to_global_embed",
+                dtype=self.dtype)(global_embed)
+
+        prepend_inputs = None
+        prepend_mask = None
+        prepend_length = 0
+        if prepend_cond is not None:
+            prepend_inputs = _MLPEmbed(
+                embed_dim, use_bias=False, name="to_prepend_embed",
+                dtype=self.dtype)(prepend_cond)
+            prepend_mask = prepend_cond_mask
+
+        if input_concat_cond is not None:
+            if input_concat_cond.shape[2] != x.shape[2]:
+                reps = -(-x.shape[2] // input_concat_cond.shape[2])
+                input_concat_cond = jnp.repeat(
+                    input_concat_cond, reps, axis=2)[:, :, :x.shape[2]]
+            x = jnp.concatenate([x, input_concat_cond], axis=1)
+
+        t_feat = FourierFeatures(256, name="timestep_features")(t[:, None])
+        timestep_embed = _MLPEmbed(embed_dim, name="to_timestep_embed",
+                                   dtype=self.dtype)(t_feat)
+        global_embed = (timestep_embed if global_embed is None
+                        else global_embed + timestep_embed)
+
+        if self.global_cond_type == "prepend":
+            ge = global_embed[:, None, :]
+            if prepend_inputs is None:
+                prepend_inputs = ge
+                prepend_mask = jnp.ones((x.shape[0], 1), bool)
+            else:
+                prepend_inputs = jnp.concatenate([prepend_inputs, ge], 1)
+                prepend_mask = jnp.concatenate(
+                    [prepend_mask if prepend_mask is not None
+                     else jnp.ones(prepend_inputs.shape[:2], bool),
+                     jnp.ones((x.shape[0], 1), bool)], axis=1)
+            prepend_length = prepend_inputs.shape[1]
+            adaln_cond = None
+        else:  # adaLN
+            adaln_cond = global_embed
+            if prepend_inputs is not None:
+                prepend_length = prepend_inputs.shape[1]
+
+        dim_in = x.shape[1]
+        pre = nn.Conv(dim_in, (1,), use_bias=False,
+                      kernel_init=nn.initializers.zeros,
+                      name="preprocess_conv", dtype=self.dtype)
+        x = jnp.swapaxes(x, 1, 2)  # (B, T, C)
+        x = pre(x) + x
+        if self.patch_size > 1:
+            b, tt, c = x.shape
+            x = x.reshape(b, tt // self.patch_size, c * self.patch_size)
+
+        out = ContinuousTransformer(
+            dim=embed_dim, depth=self.depth,
+            dim_heads=embed_dim // self.num_heads,
+            dim_in=dim_in * self.patch_size,
+            dim_out=self.io_channels * self.patch_size,
+            cross_attend=self.cond_token_dim > 0,
+            cond_token_dim=(embed_dim if self.project_cond_tokens
+                            else self.cond_token_dim)
+            if self.cond_token_dim > 0 else None,
+            global_cond_dim=(embed_dim
+                             if self.global_cond_type == "adaLN" else None),
+            qk_norm=self.qk_norm, sliding_window=tuple(self.sliding_window),
+            name="transformer", dtype=self.dtype,
+        )(x, prepend_embeds=prepend_inputs, prepend_mask=prepend_mask,
+          context=cross_attn_cond, context_mask=cross_attn_cond_mask,
+          global_cond=adaln_cond, mask=mask)
+
+        if self.patch_size > 1:
+            b, tt, c = out.shape
+            out = out.reshape(b, tt * self.patch_size,
+                              c // self.patch_size)
+        out = jnp.swapaxes(out, 1, 2)
+        if prepend_length:  # drop prepend tokens from the time axis
+            out = out[:, :, prepend_length:]
+        post = nn.Conv(self.io_channels, (1,), use_bias=False,
+                       kernel_init=nn.initializers.zeros,
+                       name="postprocess_conv", dtype=self.dtype)
+        out_t = jnp.swapaxes(out, 1, 2)
+        out = jnp.swapaxes(post(out_t), 1, 2) + out
+        return out

@@ -130,6 +130,7 @@ class ScoreModelNCSNpp(nn.Module):
 
     def post_process(self, h: Array, n_samples: int, n_pad: int) -> Array:
         """(B, F, frames, 2C) -> (B, C, T) waveform."""
+        h = h.astype(jnp.float32)  # spectral inverse runs f32 (complex64)
         if n_pad:
             h = h[:, :, :-n_pad, :]
         c = h.shape[-1] // 2

@@ -69,6 +69,9 @@ class DiffSepConfig:
     lr: float = 2e-4
     lr_warmup: Optional[int] = None
     grad_clip: float = 5.0
+    # gradient accumulation (reference: accumulate_grad_batches=8,
+    # src/train_diffsep.py:165) -- optax.MultiSteps inside the jitted step
+    accumulate_grad_batches: int = 1
     # sampler defaults (reference: model/default.yaml:45-48)
     sampler_N: int = 30
     sampler_snr: float = 0.5
@@ -339,10 +342,13 @@ class DiffSepTrainer:
             schedule = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup)
         else:
             schedule = cfg.lr
-        return optax.chain(
+        tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adam(schedule),
         )
+        if cfg.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+        return tx
 
     def init_state(self, params) -> TrainState:
         tx = self.make_optimizer()

@@ -1,0 +1,89 @@
+"""End-to-end CLI smoke tests on synthetic data (tiny models)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_WAVEFORM = [
+    "model.score_model.nf=16",
+    "model.score_model.ch_mult=(1, 1)",
+    "model.score_model.attn_resolutions=()",
+    "model.sampler.N=2",
+]
+TINY_LATENT = [
+    "model.score_model.nf=16",
+    "model.score_model.ch_mult=(1, 2)",
+    "model.score_model.attn_resolutions=()",
+    "model.score_model.image_size=4",
+    "model.vae.channels=8",
+    "model.vae.c_mults=(1, 2)",
+    "model.vae.strides=(2, 4)",
+    "model.vae.latent_dim=4",
+    "model.sampler.N=2",
+]
+
+
+def test_train_diffsep_cli(tmp_path):
+    from ditsep_tpu.cli.train_diffsep import main
+    wd = str(tmp_path / "run")
+    main(["--config", "diffsep", "--synthetic", "--workdir", wd,
+          "--batch-size", "2", "--max-steps", "3", "--max-epochs", "2",
+          "--override", *TINY_WAVEFORM])
+    assert os.path.exists(f"{wd}/metrics.jsonl")
+    lines = [json.loads(l) for l in open(f"{wd}/metrics.jsonl")]
+    assert any("val/si_sdr" in l for l in lines)
+    assert os.path.exists(f"{wd}/checkpoints/best-model")
+
+
+def test_train_diffsep_latent_cli(tmp_path):
+    from ditsep_tpu.cli.train_diffsep_latent import main
+    wd = str(tmp_path / "run")
+    main(["--synthetic", "--workdir", wd, "--batch-size", "2",
+          "--max-steps", "2", "--max-epochs", "1",
+          "--override", *TINY_LATENT])
+    assert os.path.exists(f"{wd}/metrics.jsonl")
+
+
+def test_cache_latents_and_train_ldm_cli(tmp_path):
+    from ditsep_tpu.cli.cache_latents import main as cache_main
+    from ditsep_tpu.cli.train_ldm import main as ldm_main
+    cache_dir = str(tmp_path / "cache")
+    cache_main(["--synthetic", "--out-dir", cache_dir, "--sampler-N", "2",
+                "--override", *TINY_LATENT])
+    assert os.path.exists(f"{cache_dir}/metadata.npz")
+    wd = str(tmp_path / "ldm")
+    ldm_main(["--synthetic", "--workdir", wd, "--latent-cache", cache_dir,
+              "--batch-size", "2", "--max-steps", "3",
+              "--override", *TINY_LATENT,
+              "training.loss.spectral.fft_sizes=(256, 128)",
+              "training.loss.spectral.hop_sizes=(64, 32)",
+              "training.loss.spectral.perceptual_weighting=False"])
+    assert os.path.exists(f"{wd}/metrics.jsonl")
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    from ditsep_tpu.cli.evaluate import main
+    out = str(tmp_path / "results")
+    main(["--config", "diffsep", "--synthetic", "--out-dir", out,
+          "--sampler-N", "2", "--limit", "2", "--eval-batch-size", "2",
+          "--override", *TINY_WAVEFORM])
+    summary = json.load(open(f"{out}/librimix_test_summary.json"))
+    assert summary["number"] == 2
+    assert summary["nfe"] == 4
+
+
+def test_separate_cli(tmp_path):
+    from ditsep_tpu.cli.separate import main
+    from ditsep_tpu.data import write_wav
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(str(in_dir / f"u{i}.wav"),
+                  rng.standard_normal(8000).astype(np.float32) * 0.3, 8000)
+    out_dir = str(tmp_path / "out")
+    main(["--config", "diffsep", "--input", str(in_dir), "--output",
+          out_dir, "--sampler-N", "2", "--override", *TINY_WAVEFORM])
+    assert sorted(os.listdir(f"{out_dir}/s0")) == ["u0.wav", "u1.wav"]
+    assert sorted(os.listdir(f"{out_dir}/s1")) == ["u0.wav", "u1.wav"]
