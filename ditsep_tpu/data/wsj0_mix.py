@@ -26,8 +26,14 @@ SPLITS_WSJ = {"train": "tr", "val": "cv", "test": "tt",
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Load a wav file as float32 in [-1, 1]. scipy-based (no soundfile in
-    the TPU image)."""
+    """Load a wav file as float32 in [-1, 1]. Uses the native C++ decoder
+    (ditsep_tpu.native) when built, else scipy."""
+    from ditsep_tpu import native
+
+    r = native.load_wav(path)
+    if r is not None:
+        data, fs = r
+        return (data[0] if data.shape[0] == 1 else data), fs
     from scipy.io import wavfile
 
     fs, data = wavfile.read(path)

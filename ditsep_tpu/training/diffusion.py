@@ -1,0 +1,192 @@
+"""Diffusion training for DiT / UNet generative models: v-objective and
+rectified flow, conditional and unconditional.
+
+TPU-native re-design of the stable-audio-tools diffusion training wrappers
+(reference: src/stable_audio_tools/training/diffusion.py:215-560 Diffusion
+{Uncond,Cond}TrainingWrapper, create_source_mixture :1408-1429). One jitted
+train step; conditioning tensors are produced by a MultiConditioner and
+routed via the cond-id lists, mirroring ConditionedDiffusionModelWrapper
+(reference: src/stable_audio_tools/models/diffusion.py:98-214).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ditsep_tpu.inference.sampling import (
+    get_alphas_sigmas, truncated_logistic_normal_rescaled,
+)
+
+Array = jax.Array
+
+
+def sample_timesteps(key: Array, n: int, sampler: str = "uniform") -> Array:
+    """uniform / logit_normal / trunc_logit_normal timestep samplers
+    (reference: training/diffusion.py:364-376)."""
+    if sampler == "uniform":
+        return jax.random.uniform(key, (n,))
+    if sampler == "logit_normal":
+        return jax.nn.sigmoid(jax.random.normal(key, (n,)))
+    if sampler == "trunc_logit_normal":
+        return 1.0 - truncated_logistic_normal_rescaled(key, (n,))
+    raise ValueError(f"Invalid timestep_sampler: {sampler}")
+
+
+def diffusion_targets(objective: str, x0: Array, noise: Array,
+                      t: Array) -> Tuple[Array, Array]:
+    """(noised_input, target) for the chosen objective
+    (reference: training/diffusion.py:383-399)."""
+    if objective == "v":
+        alphas, sigmas = get_alphas_sigmas(t)
+    elif objective == "rectified_flow":
+        alphas, sigmas = 1.0 - t, t
+    else:
+        raise ValueError(objective)
+    nd = x0.ndim
+    alphas = alphas.reshape((-1,) + (1,) * (nd - 1))
+    sigmas = sigmas.reshape((-1,) + (1,) * (nd - 1))
+    noised = x0 * alphas + noise * sigmas
+    if objective == "v":
+        target = noise * alphas - x0 * sigmas
+    else:
+        target = noise - x0
+    return noised, target
+
+
+def create_source_mixture(key: Array, reals: Array,
+                          num_sources: int = 2) -> Tuple[Array, Array]:
+    """Fake mixtures by summing randomly-offset batch elements
+    (reference: training/diffusion.py:1408-1429). Returns
+    (source_mixture, shifted_reals). Static-shape version: offsets are
+    applied with roll+mask instead of ragged slicing."""
+    b, c, t = reals.shape
+    k_perm, k_off = jax.random.split(key)
+    offsets = jax.random.randint(k_off, (b, num_sources), 0, t)
+    # choose num_sources donors per row: a random cyclic shift of the batch
+    shifts = jax.random.randint(k_perm, (num_sources,), 0, b)
+
+    def shifted(x, offset):
+        rolled = jnp.roll(x, offset, axis=-1)
+        mask = jnp.arange(t) >= offset
+        return rolled * mask
+
+    source = jnp.zeros_like(reals)
+    new_reals = reals
+    for s in range(num_sources):
+        donor = jnp.roll(jnp.arange(b), shifts[s]) if s > 0 \
+            else jnp.arange(b)
+        contrib = jax.vmap(shifted)(reals[donor], offsets[:, s])
+        source = source + contrib
+        if s == 0:  # align the "true" source with its shift
+            new_reals = contrib
+    return source, new_reals
+
+
+class DiffusionTrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CondRouting:
+    """Which conditioner outputs feed which model input
+    (reference: models/diffusion.py:112-214)."""
+
+    cross_attn_cond_ids: Tuple[str, ...] = ()
+    global_cond_ids: Tuple[str, ...] = ()
+    input_concat_ids: Tuple[str, ...] = ()
+    prepend_cond_ids: Tuple[str, ...] = ()
+
+    def gather(self, cond: Dict[str, Tuple[Array, Array]]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if self.cross_attn_cond_ids:
+            embs = [cond[k][0] for k in self.cross_attn_cond_ids]
+            masks = [cond[k][1] for k in self.cross_attn_cond_ids]
+            out["cross_attn_cond"] = jnp.concatenate(embs, axis=1)
+            out["cross_attn_cond_mask"] = jnp.concatenate(masks, axis=1)
+        if self.global_cond_ids:
+            g = jnp.concatenate(
+                [cond[k][0].reshape(cond[k][0].shape[0], -1)
+                 for k in self.global_cond_ids], axis=-1)
+            out["global_embed"] = g
+        if self.input_concat_ids:
+            out["input_concat_cond"] = jnp.concatenate(
+                [cond[k][0] for k in self.input_concat_ids], axis=1)
+        if self.prepend_cond_ids:
+            out["prepend_cond"] = jnp.concatenate(
+                [cond[k][0] for k in self.prepend_cond_ids], axis=1)
+            out["prepend_cond_mask"] = jnp.concatenate(
+                [cond[k][1] for k in self.prepend_cond_ids], axis=1)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionTrainer:
+    """v / rectified-flow diffusion trainer for a DiT-style model.
+
+    `model.apply(params, x, t, **cond_inputs)` predicts the objective
+    target. Unconditional when `routing` is None / empty
+    (reference: DiffusionUncondTrainingWrapper :215-330 and
+    DiffusionCondTrainingWrapper :330-560).
+    """
+
+    model: Any
+    objective: str = "v"
+    timestep_sampler: str = "uniform"
+    lr: float = 1e-4
+    ema_decay: float = 0.9999
+    cfg_dropout_prob: float = 0.1
+    routing: Optional[CondRouting] = None
+
+    def make_optimizer(self):
+        return optax.adamw(self.lr, b1=0.9, b2=0.999, weight_decay=1e-3)
+
+    def init_state(self, params) -> DiffusionTrainState:
+        return DiffusionTrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=self.make_optimizer().init(params),
+            ema_params=params)
+
+    def loss(self, params, key: Array, x0: Array,
+             cond: Optional[Dict[str, Tuple[Array, Array]]] = None,
+             padding_mask: Optional[Array] = None) -> Array:
+        k_t, k_z, k_cfg = jax.random.split(key, 3)
+        t = sample_timesteps(k_t, x0.shape[0], self.timestep_sampler)
+        noise = jax.random.normal(k_z, x0.shape, x0.dtype)
+        noised, target = diffusion_targets(self.objective, x0, noise, t)
+        kwargs: Dict[str, Any] = {}
+        if cond is not None and self.routing is not None:
+            kwargs = self.routing.gather(cond)
+            if self.cfg_dropout_prob > 0:
+                kwargs["cfg_dropout_prob"] = self.cfg_dropout_prob
+                kwargs["rngs_key"] = k_cfg
+        out = self.model.apply(params, noised, t, **kwargs)
+        se = (out - target) ** 2
+        if padding_mask is not None:
+            m = padding_mask[:, None, :]
+            return jnp.sum(se * m) / jnp.clip(jnp.sum(
+                jnp.broadcast_to(m, se.shape)), min=1.0)
+        return jnp.mean(se)
+
+    def train_step(self, state: DiffusionTrainState, key: Array, x0: Array,
+                   cond=None, padding_mask=None):
+        loss, grads = jax.value_and_grad(
+            lambda p: self.loss(p, key, x0, cond, padding_mask)
+        )(state.params)
+        tx = self.make_optimizer()
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        d = self.ema_decay
+        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                           state.ema_params, params)
+        return (state.replace(step=state.step + 1, params=params,
+                              opt_state=opt_state, ema_params=ema),
+                {"train/loss": loss, "train/grad_norm":
+                 optax.global_norm(grads)})

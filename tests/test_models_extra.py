@@ -1,0 +1,222 @@
+"""Tests: transformer/DiT, bottlenecks, samplers, diffusion trainer,
+conditioners, backbones, native IO, composite metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ditsep_tpu.inference import (
+    get_alphas_sigmas, sample, sample_rf, truncated_logistic_normal_rescaled,
+)
+from ditsep_tpu.models.bottleneck import (
+    FSQBottleneck, L2Bottleneck, ResidualVQ, TanhBottleneck, VAEBottleneck,
+    WassersteinBottleneck,
+)
+from ditsep_tpu.models.conditioners import (
+    IntConditioner, MultiConditioner, NumberConditioner,
+)
+from ditsep_tpu.models.dit import DiffusionTransformer
+from ditsep_tpu.models.transformer import (
+    ContinuousTransformer, apply_rotary_pos_emb, rotary_freqs,
+    sliding_window_mask,
+)
+from ditsep_tpu.training.diffusion import (
+    CondRouting, DiffusionTrainer, create_source_mixture, diffusion_targets,
+    sample_timesteps,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------- transformer ---
+def test_rotary_preserves_norm():
+    t = jax.random.normal(KEY, (2, 4, 10, 64))
+    freqs = rotary_freqs(10, 32)
+    out = apply_rotary_pos_emb(t, freqs)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out, axis=-1)),
+        np.asarray(jnp.linalg.norm(t, axis=-1)), rtol=1e-5)
+
+
+def test_sliding_window_mask():
+    m = sliding_window_mask(5, 5, (1, 2))
+    m = np.asarray(m)
+    assert m[2, 1] and m[2, 4] and not m[2, 0] and not m[4, 1]
+    assert sliding_window_mask(5, 5, (-1, -1)) is None
+
+
+def test_transformer_zero_init_is_identity_at_init():
+    """zero_init_branch_outputs means the block is the identity at init."""
+    ct = ContinuousTransformer(dim=32, depth=2, dim_heads=16)
+    x = jax.random.normal(KEY, (2, 8, 32))
+    p = ct.init(KEY, x)
+    out = ct.apply(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_transformer_mask_blocks_padding():
+    ct = ContinuousTransformer(dim=32, depth=1, dim_heads=16,
+                               zero_init_branch_outputs=False)
+    x = jax.random.normal(KEY, (1, 6, 32))
+    p = ct.init(KEY, x)
+    mask = jnp.array([[True, True, True, False, False, False]])
+    out1 = ct.apply(p, x, mask=mask)
+    x2 = x.at[:, 3:].set(99.0)  # junk in masked positions
+    out2 = ct.apply(p, x2, mask=mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :3]),
+                               np.asarray(out2[:, :3]), atol=1e-4)
+
+
+def test_dit_cfg_scale_one_matches_uncond_path():
+    dit = DiffusionTransformer(io_channels=4, embed_dim=32, depth=1,
+                               num_heads=2, cond_token_dim=8)
+    z = jax.random.normal(KEY, (2, 4, 8))
+    t = jnp.array([0.3, 0.6])
+    cond = jax.random.normal(KEY, (2, 3, 8))
+    p = dit.init(KEY, z, t, cross_attn_cond=cond)
+    out1 = dit.apply(p, z, t, cross_attn_cond=cond, cfg_scale=1.0)
+    assert out1.shape == z.shape
+    out3 = dit.apply(p, z, t, cross_attn_cond=cond, cfg_scale=3.0)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+# ----------------------------------------------------------- bottlenecks --
+def test_bottleneck_shapes_and_props():
+    x = jax.random.normal(KEY, (2, 8, 32))
+    assert TanhBottleneck().encode(KEY, x).shape == x.shape
+    v, info = VAEBottleneck().encode(KEY, x, return_info=True)
+    assert v.shape == (2, 4, 32) and float(info["kl"]) > 0
+    l2 = L2Bottleneck().encode(KEY, x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(l2, axis=1)), 1.0, atol=1e-5)
+    w, info = WassersteinBottleneck().encode(KEY, x, return_info=True)
+    assert np.isfinite(float(info["mmd"]))
+
+
+def test_rvq_reconstruction_from_indices():
+    rvq = ResidualVQ(dim=8, codebook_size=64, num_quantizers=3)
+    y = jax.random.normal(KEY, (2, 16, 8))
+    variables = rvq.init(KEY, y)
+    q, idx, loss = rvq.apply(variables, y)
+    rec = rvq.from_indices(variables, idx)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(q), atol=1e-5)
+    assert float(loss) > 0
+
+
+def test_fsq_quantization_levels():
+    f = FSQBottleneck(levels=(8, 5, 5, 5))
+    x = jax.random.normal(KEY, (2, 4, 64)) * 3
+    q = f.encode(None, x)
+    assert float(jnp.abs(q).max()) <= 1.0 + 1e-6
+    for d, lv in enumerate(f.levels):
+        uniq = np.unique(np.asarray(q[:, d]).round(5))
+        assert len(uniq) <= lv
+    tok = f.tokens(q)
+    assert int(tok.min()) >= 0 and int(tok.max()) < 8 * 5 ** 3
+
+
+# -------------------------------------------------------------- samplers --
+def test_ddim_converges_to_fixed_target():
+    c = 1.5
+
+    def v_model(x, t, **kw):
+        alpha, sigma = get_alphas_sigmas(
+            t.reshape(-1, *([1] * (x.ndim - 1))))
+        eps = (x - alpha * c) / jnp.maximum(sigma, 1e-6)
+        return alpha * eps - sigma * c
+
+    x = jax.random.normal(KEY, (2, 3, 32))
+    out = sample(v_model, x, None, steps=30, eta=0.0)
+    assert float(jnp.abs(out - c).max()) < 1e-3
+
+
+@pytest.mark.parametrize("st", ["euler", "rk4", "dpmpp"])
+def test_rf_samplers_converge(st):
+    c = -0.7
+
+    def rf_model(x, t, **kw):
+        tt = t.reshape(-1, *([1] * (x.ndim - 1)))
+        return (x - c) / jnp.maximum(tt, 1e-6)
+
+    x = jax.random.normal(KEY, (1, 2, 16))
+    out = sample_rf(rf_model, x, steps=30, sampler_type=st)
+    assert float(jnp.abs(out - c).max()) < 0.05
+
+
+# ---------------------------------------------------- diffusion training --
+def test_diffusion_targets_v_and_rf():
+    x0 = jnp.ones((2, 1, 8))
+    noise = jnp.zeros_like(x0)
+    t = jnp.array([0.0, 1.0])
+    noised, target = diffusion_targets("v", x0, noise, t)
+    np.testing.assert_allclose(np.asarray(noised[0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(noised[1]), 0.0, atol=1e-6)
+    noised, target = diffusion_targets("rectified_flow", x0, noise, t)
+    np.testing.assert_allclose(np.asarray(target), -1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("ts", ["uniform", "logit_normal",
+                                "trunc_logit_normal"])
+def test_timestep_samplers_in_range(ts):
+    t = sample_timesteps(KEY, 2000, ts)
+    assert float(t.min()) >= 0.0 and float(t.max()) <= 1.0
+
+
+def test_cond_diffusion_trainer_decreases_loss():
+    cond_mod = NumberConditioner(output_dim=8, max_val=10)
+    mc = MultiConditioner({"secs": cond_mod})
+    inputs = {"secs": jnp.array([2.0, 5.0])}
+    cvars = mc.init(KEY, inputs)
+    cond = mc(cvars, inputs)
+    dit = DiffusionTransformer(io_channels=4, embed_dim=32, depth=1,
+                               num_heads=2, cond_token_dim=8)
+    x0 = jax.random.normal(KEY, (2, 4, 8))
+    routing = CondRouting(cross_attn_cond_ids=("secs",))
+    p = dit.init(KEY, x0, jnp.array([0.5, 0.5]), **routing.gather(cond))
+    tr = DiffusionTrainer(model=dit, routing=routing, lr=2e-3,
+                          cfg_dropout_prob=0.0)
+    state = tr.init_state(p)
+    step = jax.jit(lambda s, k: tr.train_step(s, k, x0, cond))
+    losses = [float(step(state, jax.random.PRNGKey(i))[1]["train/loss"])
+              for i in range(1)]
+    for i in range(6):
+        state, m = step(state, jax.random.PRNGKey(i))
+        losses.append(float(m["train/loss"]))
+    assert all(np.isfinite(losses))
+    assert min(losses[-3:]) < losses[0]
+
+
+def test_create_source_mixture_shapes():
+    reals = jax.random.normal(KEY, (4, 1, 64))
+    src, shifted = create_source_mixture(KEY, reals, num_sources=2)
+    assert src.shape == reals.shape and shifted.shape == reals.shape
+
+
+# --------------------------------------------------------------- native ---
+def test_native_wav_roundtrip_or_skip(tmp_path):
+    from ditsep_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    x = (np.sin(np.linspace(0, 50, 4000)) * 0.4).astype(np.float32)
+    p = str(tmp_path / "n.wav")
+    assert native.write_wav(p, x, 8000)
+    data, fs = native.load_wav(p)
+    assert fs == 8000
+    np.testing.assert_allclose(data.reshape(-1), x, atol=1e-3)
+    out = native.collate_center([x[:100], x[:50]], 120)
+    assert out.shape == (2, 120)
+    np.testing.assert_allclose(out[0, 10:110], x[:100])
+
+
+# ------------------------------------------------------------- composite --
+def test_composite_metrics_properties():
+    from ditsep_tpu.eval.composite import llr, ssnr, wss
+    rng = np.random.default_rng(0)
+    clean = rng.standard_normal(16000) * 0.3
+    noisy = clean + 0.2 * rng.standard_normal(16000)
+    assert abs(float(np.mean(llr(clean, clean, 16000)))) < 1e-6
+    assert float(np.mean(llr(clean, noisy, 16000))) > 0
+    assert float(np.mean(wss(clean, noisy, 16000))) > \
+        float(np.mean(wss(clean, clean, 16000)))
+    _, seg = ssnr(clean, noisy, 16000)
+    assert np.all(seg <= 35.0) and np.all(seg >= -10.0)
