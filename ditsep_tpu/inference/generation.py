@@ -1,0 +1,102 @@
+"""Conditional generation orchestration.
+
+Re-design of stable-audio-tools generation
+(reference: src/stable_audio_tools/inference/generation.py:12-429
+generate_diffusion_cond): prepare conditioning, optional init audio
+(variations) and inpainting masks, pick the sampler by objective, decode
+through the pretransform.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ditsep_tpu.inference.sampling import (
+    get_bmask, sample, sample_k, sample_rf,
+)
+
+Array = jax.Array
+
+
+def generate_diffusion_cond(
+    model_apply: Callable[..., Array],
+    key: Array,
+    *,
+    steps: int = 100,
+    cfg_scale: float = 6.0,
+    batch_size: int = 1,
+    sample_size: int = 2097152,
+    io_channels: int = 64,
+    cond_inputs: Optional[Dict[str, Array]] = None,
+    negative_cond_inputs: Optional[Dict[str, Array]] = None,
+    init_audio: Optional[Array] = None,
+    init_noise_level: float = 1.0,
+    mask_args: Optional[Dict[str, Any]] = None,
+    diffusion_objective: str = "v",
+    sampler_type: Optional[str] = None,
+    pretransform=None,
+    scale_phi: float = 0.0,
+) -> Array:
+    """Sample latents (or audio) from a conditional diffusion model.
+
+    `model_apply(x, t, **cond_inputs)` must already close over params and
+    apply CFG internally (DiffusionTransformer.__call__ signature).
+    """
+    k_noise, k_samp = jax.random.split(key)
+    latent_len = sample_size
+    if pretransform is not None:
+        latent_len = sample_size // pretransform.downsampling_ratio
+        io_channels = pretransform.encoded_channels
+    noise = jax.random.normal(
+        k_noise, (batch_size, io_channels, latent_len))
+
+    cond = dict(cond_inputs or {})
+    if negative_cond_inputs:
+        cond.update({f"negative_{k}": v
+                     for k, v in negative_cond_inputs.items()})
+    cond["cfg_scale"] = cfg_scale
+    cond["scale_phi"] = scale_phi
+
+    init_latent = None
+    if init_audio is not None:
+        init_latent = (pretransform.encode(init_audio)
+                       if pretransform is not None else init_audio)
+
+    def model_fn(x, t, **extra):
+        return model_apply(x, t, **cond, **extra)
+
+    if diffusion_objective == "rectified_flow":
+        out = sample_rf(model_fn, noise, init_data=init_latent,
+                        steps=steps,
+                        sampler_type=sampler_type or "euler",
+                        sigma_max=init_noise_level
+                        if init_latent is not None else 1.0)
+    elif sampler_type == "k-heun":
+        out = sample_k(model_fn, noise, steps=steps,
+                       init_data=init_latent)
+    else:
+        if init_latent is not None:
+            # variation: blend init and noise at the starting sigma
+            t0 = min(init_noise_level, 1.0)
+            import math
+            alpha0 = math.cos(t0 * math.pi / 2)
+            sigma0 = math.sin(t0 * math.pi / 2)
+            noise = init_latent * alpha0 + noise * sigma0
+            out = sample(model_fn, noise, k_samp, steps, eta=0.0,
+                         sigma_max=t0)
+        else:
+            out = sample(model_fn, noise, k_samp, steps, eta=0.0)
+
+    if mask_args is not None and init_latent is not None:
+        # hard inpainting at the end: keep unmasked init content
+        # (soft-mask schedule available via get_bmask inside custom loops,
+        # reference: sampling.py:230-248)
+        mask = mask_args["mask"]  # (B, 1, latent_len) in [0, 1]
+        bmask = get_bmask(jnp.asarray(steps - 1), steps, mask)
+        out = init_latent * (1 - bmask) + out * bmask
+
+    if pretransform is not None:
+        out = pretransform.decode(out)
+    return out

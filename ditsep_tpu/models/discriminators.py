@@ -146,6 +146,95 @@ def hinge_losses(score_real: Array, score_fake: Array) -> Tuple[Array, Array]:
     return dis_loss, gen_loss
 
 
+class SharedDiscriminatorConvNet1d(nn.Module):
+    """Weight-normed strided conv discriminator (the Oobleck/RAVE-style
+    backbone, reference: discriminators.py:70-121). Input (B, C, T)."""
+
+    capacity: int = 32
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+    out_size: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array):
+        h = jnp.swapaxes(x, 1, 2)  # NWC
+        feats = []
+        ch = [self.capacity * 2 ** i for i in range(self.n_layers)]
+        for i, c in enumerate(ch):
+            from ditsep_tpu.models.oobleck import WNConv1d
+            h = WNConv1d(c, self.kernel_size, stride=self.stride,
+                         padding=self.kernel_size // 2, name=f"conv_{i}",
+                         dtype=self.dtype)(h)
+            feats.append(jnp.swapaxes(h, 1, 2))
+            h = jax.nn.silu(h)
+        from ditsep_tpu.models.oobleck import WNConv1d as _WN
+        h = _WN(self.out_size, 1, padding=0, name="conv_out",
+                dtype=self.dtype)(h)
+        feats.append(jnp.swapaxes(h, 1, 2))
+        score = jnp.mean(h.reshape(h.shape[0], -1), axis=-1)
+        return score, feats
+
+
+class OobleckDiscriminator(nn.Module):
+    """Multi-scale waveform discriminator: the same convnet applied at
+    successively avg-pooled scales (reference: discriminators.py:124-146,
+    207-240 OobleckDiscriminator wraps MultiScaleDiscriminator)."""
+
+    n_scales: int = 3
+    capacity: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array):
+        score = 0.0
+        feats = []
+        h = x
+        for i in range(self.n_scales):
+            s, f = SharedDiscriminatorConvNet1d(
+                capacity=self.capacity, name=f"scale_{i}",
+                dtype=self.dtype)(h)
+            score = score + s
+            feats.extend(f)
+            # avg-pool by 2 along time
+            t = h.shape[-1] - (h.shape[-1] % 2)
+            h = h[..., :t].reshape(h.shape[0], h.shape[1], t // 2, 2
+                                   ).mean(-1)
+        return [score[:, None, None]], [feats]
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """HiFi-GAN-style period discriminator: fold time by each period and
+    run a 2-D convnet (reference: discriminators.py:145-180)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    capacity: int = 32
+    n_layers: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array):
+        logits = []
+        fmaps = []
+        for p in self.periods:
+            pad = (p - (x.shape[-1] % p)) % p
+            h = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+            h = h.reshape(h.shape[0], h.shape[1], -1, p)  # (B, C, T/p, p)
+            h = jnp.transpose(h, (0, 2, 3, 1))  # NHWC
+            feats = []
+            for i in range(self.n_layers):
+                h = WNConv2d(self.capacity * 2 ** i, (5, 1),
+                             strides=(3, 1), name=f"p{p}_conv_{i}",
+                             dtype=self.dtype)(h)
+                h = jax.nn.leaky_relu(h, 0.2)
+                feats.append(h)
+            h = WNConv2d(1, (3, 1), name=f"p{p}_out", dtype=self.dtype)(h)
+            logits.append(h)
+            fmaps.append(feats)
+        return logits, fmaps
+
+
 def encodec_discriminator_loss(disc: MultiScaleSTFTDiscriminator, params,
                                reals: Array, fakes: Array,
                                normalize_losses: bool = False):

@@ -140,6 +140,55 @@ def pit_min(loss_fn, est: Array, ref: Array) -> Array:
     return jnp.min(jnp.stack(losses))
 
 
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(fs: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: Optional[float] = None
+                   ) -> np.ndarray:
+    """Slaney-style triangular mel filterbank (n_mels, n_fft//2+1)."""
+    fmax = fmax or fs / 2
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / fs).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for i in range(n_mels):
+        lo, ce, hi = bins[i], bins[i + 1], bins[i + 2]
+        if ce > lo:
+            fb[i, lo:ce] = (np.arange(lo, ce) - lo) / (ce - lo)
+        if hi > ce:
+            fb[i, ce:hi] = (hi - np.arange(ce, hi)) / (hi - ce)
+    return fb
+
+
+def mel_stft_loss(x: Array, y: Array, *, sample_rate: int = 8000,
+                  fft_size: int = 1024, hop_size: int = 256,
+                  n_mels: int = 80, eps: float = 1e-5) -> Array:
+    """Log-mel-spectrogram L1 distance (reference: losses/losses.py
+    MelSpectrogramLoss / auraloss MelSTFTLoss capability)."""
+    fb = jnp.asarray(mel_filterbank(sample_rate, fft_size, n_mels))
+    mx = _magnitude(x, fft_size, hop_size)  # (..., F, T)
+    my = _magnitude(y, fft_size, hop_size)
+    mel_x = jnp.einsum("mf,...ft->...mt", fb, mx ** 2)
+    mel_y = jnp.einsum("mf,...ft->...mt", fb, my ** 2)
+    return jnp.mean(jnp.abs(jnp.log(mel_x + eps) - jnp.log(mel_y + eps)))
+
+
+def sum_and_difference_stft_loss(x: Array, y: Array, **kwargs) -> Array:
+    """Stereo sum/difference MRSTFT (reference: auraloss.py
+    SumAndDifferenceSTFTLoss). x, y: (B, 2, T)."""
+    assert x.shape[1] == 2, "sum/difference loss needs stereo input"
+    xs = (x[:, :1] + x[:, 1:], x[:, :1] - x[:, 1:])
+    ys = (y[:, :1] + y[:, 1:], y[:, :1] - y[:, 1:])
+    return 0.5 * (multi_resolution_stft_loss(xs[0], ys[0], **kwargs)
+                  + multi_resolution_stft_loss(xs[1], ys[1], **kwargs))
+
+
 def l1_loss(x: Array, y: Array) -> Array:
     return jnp.mean(jnp.abs(x - y))
 

@@ -54,7 +54,7 @@ def fit(
     if init_params is None:
         mix0, tgt0 = train_dataset[0]
         key, k_init = jax.random.split(key)
-        init_params = trainer.model.init(
+        init_params = jax.jit(trainer.model.init)(
             k_init, jnp.asarray(tgt0[None]),
             jnp.full((1,), 0.5, jnp.float32), jnp.asarray(mix0[None]))
     state = trainer.init_state(init_params)

@@ -10,7 +10,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 
@@ -53,9 +57,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     mix0, tgt0 = train_ds[0]
-    params = trainer.model.init(key, jnp.asarray(tgt0[None]),
-                                jnp.full((1,), 0.5),
-                                jnp.asarray(mix0[None]))
+    params = jax.jit(trainer.model.init)(
+        key, jnp.asarray(tgt0[None]), jnp.full((1,), 0.5),
+        jnp.asarray(mix0[None]))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"model params: {n_params/1e6:.2f}M, devices: {jax.devices()}")
 

@@ -16,3 +16,8 @@ import jax  # noqa: E402
 # suite always runs on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: the suite is compile-bound on this 1-vCPU
+# box; cached XLA programs make repeat runs minutes instead of ~45 min
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
