@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--n-samples-per-item", type=int, default=1)
     p.add_argument("--sampler-N", type=int, default=30)
     args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
     cfg = load_config(args.config, args.override)
 
     trainer = build_latent_trainer(cfg)

@@ -44,7 +44,16 @@ def make_dataset(cfg, split: str, data_path: Optional[str],
         max_len_s=dm.get("max_len_s") if split == "train" else None)
 
 
+def force_cpu():
+    """Pin JAX to CPU (the axon TPU plugin overrides JAX_PLATFORMS, so the
+    config flag is the reliable switch)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
 def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--cpu", action="store_true",
+                   help="run on CPU even when a TPU is attached")
     p.add_argument("--config", default="diffsep")
     p.add_argument("--data-path", default=None,
                    help="dataset root (wsj0-mix / LibriMix layout)")

@@ -29,16 +29,35 @@ def main(argv=None):
     p.add_argument("--corrector-steps", type=int, default=1)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--eval-batch-size", type=int, default=4)
+    p.add_argument("--latent", action="store_true",
+                   help="evaluate the latent pipeline (evaluate_latent "
+                        "equivalent; reference: src/evaluate_latent.py)")
+    p.add_argument("--vae-params", default=None)
     args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
     cfg = load_config(args.config, args.override)
 
-    trainer = build_diffsep_trainer(cfg)
     ds = make_dataset(cfg, "test", args.data_path, args.synthetic)
     key = jax.random.PRNGKey(args.seed)
     mix0, tgt0 = ds[0]
-    template = trainer.model.init(key, jnp.asarray(tgt0[None]),
-                                  jnp.full((1,), 0.5),
-                                  jnp.asarray(mix0[None]))
+
+    if args.latent:
+        from ditsep_tpu.cli.train_diffsep_latent import init_vae_params
+        from ditsep_tpu.configs import build_latent_trainer
+        trainer = build_latent_trainer(cfg)
+        vae_params = init_vae_params(trainer, args.vae_params, key)
+        mix_lat, tgt_lat = trainer.encode(
+            vae_params, None, jnp.asarray(mix0[None]),
+            jnp.asarray(tgt0[None]))
+        template = trainer.model.init(key, tgt_lat, jnp.full((1,), 0.5),
+                                      mix_lat)
+    else:
+        trainer = build_diffsep_trainer(cfg)
+        template = trainer.model.init(key, jnp.asarray(tgt0[None]),
+                                      jnp.full((1,), 0.5),
+                                      jnp.asarray(mix0[None]))
     if args.params:
         from ditsep_tpu.utils.checkpoint import load_params_npz
         params = {"params": load_params_npz(args.params,
@@ -51,9 +70,14 @@ def main(argv=None):
         from ditsep_tpu.parallel import make_mesh
         mesh = make_mesh()
 
-    sep = jax.jit(lambda k, mix: trainer.separate(
-        params, k, mix, N=args.sampler_N, snr=args.snr,
-        corrector_steps=args.corrector_steps)[0])
+    if args.latent:
+        sep = jax.jit(lambda k, mix: trainer.separate_latent(
+            params, vae_params, k, mix, target_dim=mix.shape[-1],
+            N=args.sampler_N)[0])
+    else:
+        sep = jax.jit(lambda k, mix: trainer.separate(
+            params, k, mix, N=args.sampler_N, snr=args.snr,
+            corrector_steps=args.corrector_steps)[0])
     nfe = args.sampler_N * (args.corrector_steps + 1)
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),

@@ -16,6 +16,9 @@ from ditsep_tpu.training.loop import fit
 def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(description=__doc__))
     args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
     cfg = load_config(args.config, args.override)
 
     trainer = build_diffsep_trainer(cfg)

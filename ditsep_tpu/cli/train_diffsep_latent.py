@@ -64,6 +64,9 @@ def main(argv=None):
     p.add_argument("--vae-params", default=None,
                    help="npz with OobleckVAE params")
     args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
     cfg = load_config(args.config, args.override)
 
     trainer = build_latent_trainer(cfg)

@@ -28,6 +28,9 @@ def main(argv=None):
                    help="latent cache dir (see cli.cache_latents)")
     p.add_argument("--use-disc", action="store_true")
     args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
     cfg = load_config(args.config, args.override)
 
     latent_trainer = build_latent_trainer(cfg)

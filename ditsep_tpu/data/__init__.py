@@ -4,6 +4,15 @@ from ditsep_tpu.data.latent_ds import (
     save_latent_cache,
     save_latent_metadata,
 )
+from ditsep_tpu.data.dataset import (
+    PadCropNormalized,
+    PreEncodedDataset,
+    SampleDataset,
+    mono,
+    phase_flipper,
+    stereo,
+    volume_norm,
+)
 from ditsep_tpu.data.vctk_demand import NoisyDataset
 from ditsep_tpu.data.wsj0_mix import (
     BucketedLoader,

@@ -119,7 +119,10 @@ class WSJ0Mix:
 @dataclasses.dataclass
 class SyntheticMixDataset:
     """Deterministic synthetic mixtures for tests/benchmarks without data
-    on disk: per-source band-limited noise bursts summed into the mix."""
+    on disk. Sources occupy distinct spectral bands per source index
+    (lowpass noise for source 0, highpassed for source 1, band-passed
+    beyond) so the separation task is well-posed and learnable -- unlike
+    i.i.d. broadband sources, which are fundamentally unseparable."""
 
     n_items: int = 16
     n_spkr: int = 2
@@ -137,10 +140,23 @@ class SyntheticMixDataset:
         srcs = []
         for s in range(self.n_spkr):
             x = rng.standard_normal(t).astype(np.float32)
-            # cheap band-limit: moving average with random width
-            k = int(rng.integers(2, 16))
-            x = np.convolve(x, np.ones(k, np.float32) / k, mode="same")
-            srcs.append(0.3 * x / (np.std(x) + 1e-6) * rng.uniform(0.3, 1.0))
+            k = int(rng.integers(12, 24))
+            low = np.convolve(x, np.ones(k, np.float32) / k, mode="same")
+            if s == 0:
+                x = low
+            elif s == 1:
+                x = x - low  # highpass complement
+            else:
+                k2 = int(rng.integers(3, 6))
+                mid = np.convolve(x, np.ones(k2, np.float32) / k2,
+                                  mode="same")
+                x = mid - low  # band-pass
+            # slow amplitude modulation for temporal structure
+            env = 0.5 + 0.5 * np.sin(
+                2 * np.pi * rng.uniform(0.5, 2.0)
+                * np.arange(t) / self.fs + rng.uniform(0, 6.28))
+            x = x * env.astype(np.float32)
+            srcs.append(0.3 * x / (np.std(x) + 1e-6) * rng.uniform(0.5, 1.0))
         tgt = np.stack(srcs)
         mix = tgt.sum(axis=0, keepdims=True)
         return mix.astype(np.float32), tgt.astype(np.float32)

@@ -91,11 +91,13 @@ def main():
     items = [test_ds[j] for j in range(len(test_ds))]
     mix_b, tgt_b = max_collator(items)
     mix_j, tgt_j = jnp.asarray(mix_b), jnp.asarray(tgt_b)
-    sep = jax.jit(lambda k, m: trainer.separate(
-        state.ema_params, k, m, N=args.eval_N)[0])
-    est = sep(jax.random.PRNGKey(1), mix_j)
-    si_est = float(jnp.mean(si_sdr_pit(est, tgt_j, zero_mean=True,
-                                       clamp_db=30.0)))
+    sep = jax.jit(lambda p, k, m: trainer.separate(
+        p, k, m, N=args.eval_N)[0])
+    si = {}
+    for name, p in [("params", state.params), ("ema", state.ema_params)]:
+        est = sep(p, jax.random.PRNGKey(1), mix_j)
+        si[name] = float(jnp.mean(si_sdr_pit(est, tgt_j, zero_mean=True,
+                                             clamp_db=30.0)))
     mix_rep = jnp.broadcast_to(mix_j, tgt_j.shape)
     si_mix = float(jnp.mean(si_sdr_pit(mix_rep, tgt_j, zero_mean=True,
                                        clamp_db=30.0)))
@@ -103,8 +105,9 @@ def main():
         "steps": args.steps,
         "final_loss": losses[-1] if losses else None,
         "si_sdr_mixture_baseline": round(si_mix, 3),
-        "si_sdr_separated": round(si_est, 3),
-        "improvement_db": round(si_est - si_mix, 3),
+        "si_sdr_separated": round(si["params"], 3),
+        "si_sdr_separated_ema": round(si["ema"], 3),
+        "improvement_db": round(si["params"] - si_mix, 3),
     }
     print(json.dumps(result))
 
