@@ -56,26 +56,30 @@ def main():
     # slow over a remote-TPU tunnel
     params = jax.jit(model.init)(key, xt, tcond, mix)
 
-    def score_fn(x, t, y):
-        return model.apply(params, x, t, y)
-
+    # params ride as jit ARGUMENTS, not closures: the axon tunnel ships
+    # compiled programs over HTTP, and closed-over params become embedded
+    # constants (hundreds of MB -> slow/failing remote compiles)
     @jax.jit
-    def sample(k, y):
+    def sample(params, k, y):
+        score_fn = lambda x, t, c: model.apply(params, x, t, c)
         est, nfe = pc_sample(
             sde, score_fn, k, y, predictor="reverse_diffusion",
             corrector="ald2", N=30, snr=0.5, corrector_steps=1,
             denoise=True, eps=0.03, n_spkrs=2)
         return est
 
-    # warmup/compile
-    est = sample(jax.random.PRNGKey(1), mix)
-    est.block_until_ready()
+    # warmup/compile; a HOST READ (not just block_until_ready) is required
+    # to truly sync -- the axon runtime's block_until_ready can return
+    # before remote execution finishes right after compilation
+    import numpy as np
+    est = sample(params, jax.random.PRNGKey(1), mix)
+    float(np.asarray(jnp.mean(est.astype(jnp.float32))))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for i in range(reps):
-        est = sample(jax.random.PRNGKey(2 + i), mix)
-    est.block_until_ready()
+        est = sample(params, jax.random.PRNGKey(2 + i), mix)
+        float(np.asarray(jnp.mean(est.astype(jnp.float32))))
     dt = (time.perf_counter() - t0) / reps
 
     utt_per_s = batch / dt

@@ -56,7 +56,8 @@ def main(argv=None):
             (1, trainer.cfg.n_speakers) + mix_lat0.shape[2:]),
             jnp.full((1,), 0.5), mix_lat0)
 
-    def sample_latents(k, mix):
+    @jax.jit
+    def _sample_latents(params, vae_params, k, mix):
         k_enc, k_samp = jax.random.split(k)
         mix_lat, _ = trainer.encode(vae_params, k_enc, mix, None)
         from ditsep_tpu.sdes import pc_sample
@@ -70,6 +71,9 @@ def main(argv=None):
             denoise=True, eps=trainer.cfg.t_eps,
             n_spkrs=trainer.cfg.n_speakers)
         return est
+
+    def sample_latents(k, mix):
+        return _sample_latents(params, vae_params, k, mix)
 
     done = []
     for i in range(len(ds)):

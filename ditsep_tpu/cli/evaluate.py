@@ -70,14 +70,18 @@ def main(argv=None):
         from ditsep_tpu.parallel import make_mesh
         mesh = make_mesh()
 
+    # params as jit arguments (closures embed them as program constants,
+    # which breaks/slows the remote-compile tunnel)
     if args.latent:
-        sep = jax.jit(lambda k, mix: trainer.separate_latent(
-            params, vae_params, k, mix, target_dim=mix.shape[-1],
+        sep_p = jax.jit(lambda p, vp, k, mix: trainer.separate_latent(
+            p, vp, k, mix, target_dim=mix.shape[-1],
             N=args.sampler_N)[0])
+        sep = lambda k, mix: sep_p(params, vae_params, k, mix)
     else:
-        sep = jax.jit(lambda k, mix: trainer.separate(
-            params, k, mix, N=args.sampler_N, snr=args.snr,
+        sep_p = jax.jit(lambda p, k, mix: trainer.separate(
+            p, k, mix, N=args.sampler_N, snr=args.snr,
             corrector_steps=args.corrector_steps)[0])
+        sep = lambda k, mix: sep_p(params, k, mix)
     nfe = args.sampler_N * (args.corrector_steps + 1)
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),

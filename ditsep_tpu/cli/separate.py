@@ -63,8 +63,9 @@ def main(argv=None):
     for i in range(n_src):
         Path(args.output, f"s{i}").mkdir(parents=True, exist_ok=True)
 
-    sep = jax.jit(lambda k, mix: trainer.separate(
-        params, k, mix, N=args.sampler_N)[0])
+    sep_p = jax.jit(lambda p, k, mix: trainer.separate(
+        p, k, mix, N=args.sampler_N)[0])
+    sep = lambda k, mix: sep_p(params, k, mix)
     for f in files:
         mix, in_fs = read_wav(os.path.join(args.input, f))
         mix = np.atleast_2d(mix).reshape(1, 1, -1).astype(np.float32)

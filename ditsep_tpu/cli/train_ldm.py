@@ -74,9 +74,12 @@ def main(argv=None):
                              monitor="train/loss", mode="min",
                              save_top_k=5)
 
-    gen_step = jax.jit(lambda s, l, r, w: ldm.gen_step(
-        s, frozen_rest, l, r, warmed_up=w), static_argnums=(3,))
-    disc_step = jax.jit(lambda s, l, r: ldm.disc_step(s, frozen_rest, l, r))
+    gen_step_p = jax.jit(lambda s, fr, l, r, w: ldm.gen_step(
+        s, fr, l, r, warmed_up=w), static_argnums=(4,))
+    gen_step = lambda s, l, r, w: gen_step_p(s, frozen_rest, l, r, w)
+    disc_step_p = jax.jit(
+        lambda s, fr, l, r: ldm.disc_step(s, fr, l, r))
+    disc_step = lambda s, l, r: disc_step_p(s, frozen_rest, l, r)
 
     batch_size = args.batch_size or 4
     step = 0

@@ -42,6 +42,44 @@ def _gr_bwd(alpha, g):
 gradient_reversal.defvjp(_gr_fwd, _gr_bwd)
 
 
+class AliasFreeActivation1d(nn.Module):
+    """Alias-free nonlinearity: FIR-upsample 2x -> activation ->
+    FIR-downsample 2x (reference: src/models/facodec/alias_free_torch/
+    act.py:7, filter.py:27-96, resample.py:9-57). The up/down FIR pair
+    band-limits the signal so the nonlinearity's harmonics don't alias."""
+
+    channels: int
+    taps: int = 12
+
+    def _kernel(self):
+        import numpy as np
+        # windowed-sinc halfband lowpass (cutoff 0.25 of fs_up)
+        n = self.taps
+        k = np.arange(n) - (n - 1) / 2
+        h = 0.5 * np.sinc(0.5 * k) * np.kaiser(n, 6.0)
+        return (h / h.sum()).astype(np.float32)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        """(B, T, C) -> (B, T, C)."""
+        import numpy as np
+        h = jnp.asarray(self._kernel())
+        c = x.shape[-1]
+        w = jnp.broadcast_to(h[::-1][:, None, None], (self.taps, 1, c))
+        pad = self.taps // 2
+        # upsample 2x: input-dilated depthwise conv with 2*gain
+        up = jax.lax.conv_general_dilated(
+            x, w * 2.0, window_strides=(1,), padding=[(pad, pad - 1)],
+            lhs_dilation=(2,), feature_group_count=c,
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        act = SnakeBeta(c, name="snake")(up)
+        down = jax.lax.conv_general_dilated(
+            act, w, window_strides=(2,), padding=[(pad, pad - 1)],
+            feature_group_count=c,
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return down
+
+
 class FACodecResUnit(nn.Module):
     """Snake residual unit (reference: facodec.py ResidualUnit)."""
 
