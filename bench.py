@@ -45,7 +45,7 @@ def main():
     sde = MixSDE(N=30)
 
     t_len = int(UTT_SECONDS * FS)
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = jnp.float32
 
     key = jax.random.PRNGKey(0)

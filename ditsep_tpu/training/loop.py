@@ -21,6 +21,27 @@ from ditsep_tpu.utils.checkpoint import CheckpointManager
 from ditsep_tpu.utils.logging import MetricsLogger
 
 
+def _save_run_config(workdir: str, trainer) -> None:
+    import dataclasses
+    import json
+    from pathlib import Path
+
+    rec = {}
+    try:
+        rec["trainer_cfg"] = dataclasses.asdict(trainer.cfg)
+        rec["sde"] = {"kind": type(trainer.sde).__name__,
+                      **dataclasses.asdict(trainer.sde)}
+        model = trainer.model
+        rec["model"] = {k: v for k, v in vars(model).items()
+                        if isinstance(v, (int, float, str, bool, tuple,
+                                          list))}
+    except Exception:
+        pass
+    Path(workdir).mkdir(parents=True, exist_ok=True)
+    with open(Path(workdir) / "hparams.json", "w") as f:
+        json.dump(rec, f, indent=1, default=str)
+
+
 def fit(
     trainer,
     train_dataset,
@@ -48,6 +69,10 @@ def fit(
     ckpt = CheckpointManager(f"{workdir}/checkpoints",
                              monitor="val/si_sdr", mode="max",
                              save_top_k=save_top_k)
+    # persist the run config next to the checkpoints (the reference
+    # co-locates hparams.yaml and re-reads it at eval,
+    # reference: src/evaluate_mp.py:40-79)
+    _save_run_config(workdir, trainer)
     key = jax.random.PRNGKey(seed)
 
     # init params from one example batch
