@@ -13,6 +13,7 @@ from ditsep_tpu.sdes.core import (
 from ditsep_tpu.sdes.correctors import CorrectorRegistry
 from ditsep_tpu.sdes.predictors import PredictorRegistry
 from ditsep_tpu.sdes.samplers import (
+    ab2_sample,
     ode_sample,
     ode_sample_scipy,
     pc_sample,
@@ -32,6 +33,7 @@ __all__ = [
     "PredictorRegistry",
     "bcast_right",
     "pc_sample",
+    "ab2_sample",
     "ode_sample",
     "ode_sample_scipy",
     "sb_sample",

@@ -117,6 +117,79 @@ def pc_sample(
     return x_result, nfe
 
 
+def ab2_sample(
+    sde: BaseSDE,
+    score_fn: ScoreFn,
+    key: Array,
+    y: Array,
+    *,
+    N: Optional[int] = None,
+    eps: float = 3e-2,
+    denoise: bool = True,
+    n_spkrs: int = 2,
+    stochastic: bool = False,
+):
+    """Second-order Adams-Bashforth multistep reverse integrator.
+
+    An NFE-efficiency extension beyond the reference's sampler family
+    (multistep acceleration in the spirit of the corrected-AB literature,
+    e.g. 'Gotta Go Fast' / CAB): reuses the PREVIOUS step's reverse drift
+    so each step costs ONE score evaluation yet integrates at 2nd order --
+    half the NFE of the PC sampler's predictor+corrector pair at the same
+    step count. Deterministic probability-flow by default; set
+    ``stochastic=True`` to re-add the diffusion noise (AB2 on the drift,
+    Euler-Maruyama on the noise).
+
+    Returns (x, nfe).
+    """
+    if N is not None:
+        sde = dataclasses.replace(sde, N=N)
+    n = sde.N
+    batch = y.shape[0]
+    shape = (batch, n_spkrs) + tuple(y.shape[2:])
+    key, k_prior = jax.random.split(key)
+    x0 = sde.prior_sampling(k_prior, shape, y)
+    timesteps = jnp.linspace(sde.T, eps, n)
+    dt = (sde.T - eps) / (n - 1) if n > 1 else (sde.T - eps)
+    step_keys = jax.random.split(key, n)
+
+    def drift(x, t_scalar):
+        t_vec = jnp.full((batch,), t_scalar, dtype=y.dtype)
+        f, g = sde.reverse_drift_diffusion(
+            score_fn, x, t_vec, y, probability_flow=not stochastic)
+        return f, g, t_vec
+
+    def step(carry, inputs):
+        x, f_prev, has_prev = carry
+        i, t, k = inputs
+        f, g, t_vec = drift(x, t)
+        # AB2: x' = x - dt * (3/2 f - 1/2 f_prev); first step falls back
+        # to Euler (has_prev = 0)
+        f_ab = jnp.where(has_prev > 0, 1.5 * f - 0.5 * f_prev, f)
+        x_mean = x - dt * f_ab
+        if stochastic:
+            z = jax.random.normal(k, x.shape, dtype=x.dtype)
+            g_b = bcast_right(g, x.ndim)
+            x_new = x_mean + g_b * jnp.sqrt(dt) * z
+        else:
+            x_new = x_mean
+        return (x_new, f, jnp.ones(())), x_mean
+
+    (x_final, _, _), means = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0), jnp.zeros(())),
+        (jnp.arange(n), timesteps, step_keys))
+    x = means[-1] if not stochastic else x_final
+    nfe = n
+    if denoise:
+        # final noise-free reverse-diffusion step at t=eps (the PC
+        # sampler's denoise convention removes the t_eps truncation floor)
+        t_vec = jnp.full((batch,), eps, dtype=y.dtype)
+        _, x = reverse_diffusion_predictor(
+            sde, score_fn, x, t_vec, y, step_keys[-1])
+        nfe += 1
+    return x, nfe
+
+
 def ode_sample(
     sde: BaseSDE,
     score_fn: ScoreFn,

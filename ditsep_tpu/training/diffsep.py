@@ -43,8 +43,8 @@ import jax.numpy as jnp
 import optax
 
 from ditsep_tpu.sdes import (
-    BaseSDE, MixSDE, OUVESDE, PriorMixSDE, SBVESDE, bcast_right,
-    pc_sample, sb_sample,
+    BaseSDE, MixSDE, OUVESDE, PriorMixSDE, SBVESDE, ab2_sample,
+    bcast_right, pc_sample, sb_sample,
 )
 from ditsep_tpu.training import losses as loss_lib
 from ditsep_tpu.utils import separate as sep_utils
@@ -391,11 +391,15 @@ class DiffSepTrainer:
     def separate(self, params, key, mix, *, N: Optional[int] = None,
                  snr: Optional[float] = None,
                  corrector_steps: Optional[int] = None,
+                 sampler: str = "pc",
                  **kwargs) -> Tuple[Array, Any]:
         """Full separation: normalize -> reverse sampling -> denormalize
         (reference: src/diffsep.py:82-98 / :1204-1219). The sampler choice
         follows the reference: SB sampler for SBVE, PC with 'ald' for scalar
-        SDEs, PC with 'ald2' for Mix SDEs."""
+        SDEs, PC with 'ald2' for Mix SDEs. ``sampler='ab2'`` uses the
+        2nd-order multistep integrator (ONE score eval per step -- half the
+        NFE of PC at the same step count; an efficiency extension beyond
+        the reference)."""
         cfg = self.cfg
         (mix, _), mean, std = sep_utils.normalize_batch((mix, None))
         score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
@@ -404,6 +408,11 @@ class DiffSepTrainer:
                 self.sde, score_fn, key, mix,
                 sampler_type=self.sde.sampler_type,
                 n_spkrs=cfg.n_speakers, **kwargs)
+        elif sampler == "ab2":
+            est, nfe = ab2_sample(
+                self.sde, score_fn, key, mix,
+                N=cfg.sampler_N if N is None else N,
+                eps=cfg.t_eps, n_spkrs=cfg.n_speakers, **kwargs)
         else:
             est, nfe = pc_sample(
                 self.sde, score_fn, key, mix,

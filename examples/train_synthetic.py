@@ -39,6 +39,8 @@ def main():
     p.add_argument("--n-train", type=int, default=256)
     p.add_argument("--eval-N", type=int, default=30)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--save-params", default=None,
+                   help="npz path for the trained (EMA) params")
     args = p.parse_args()
 
     cfg = override(CONFIG_FAMILIES["diffsep"](), {
@@ -110,6 +112,10 @@ def main():
         "improvement_db": round(si["params"] - si_mix, 3),
     }
     print(json.dumps(result))
+    if args.save_params:
+        from ditsep_tpu.utils.checkpoint import save_params_npz
+        save_params_npz(args.save_params, state.ema_params["params"])
+        print(f"saved EMA params to {args.save_params}")
 
 
 if __name__ == "__main__":
