@@ -5,7 +5,6 @@ PIT-MRSTFT (+ GAN) against the clean sources.
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ def main(argv=None):
 
     import orbax.checkpoint as ocp
     from pathlib import Path
-    import json
 
     from ditsep_tpu.utils.checkpoint import CheckpointManager, \
         save_params_npz

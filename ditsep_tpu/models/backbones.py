@@ -12,7 +12,6 @@ reference's (B, C, T) convention.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

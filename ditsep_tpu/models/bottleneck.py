@@ -10,7 +10,7 @@ decode(x) -> latents, with x (B, C, T) channel-first like the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

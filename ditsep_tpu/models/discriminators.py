@@ -10,7 +10,6 @@ as an explicit (g, v) parameterization like ditsep_tpu.models.oobleck.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

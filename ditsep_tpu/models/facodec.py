@@ -11,9 +11,8 @@ speaker disentanglement.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ their model configs over unchanged.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 from ditsep_tpu.models.bottleneck import (
     FSQBottleneck, L2Bottleneck, ResidualVQ, RVQBottleneck, TanhBottleneck,

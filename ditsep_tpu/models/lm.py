@@ -10,7 +10,7 @@ and prediction heads, and scan-based autoregressive sampling.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ Design notes
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ Channel-last layouts: (B, T, C) for 1-D, (B, H, W, C) for 2-D.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ waveforms/latents (B, C, T) matching the reference call convention.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,8 +10,7 @@ reference's flash-attn kernel windows.
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ connections, and classifier-free conditioning via cross-attention tokens.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

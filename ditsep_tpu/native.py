@@ -8,7 +8,6 @@ the numpy/scipy paths when no compiler is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

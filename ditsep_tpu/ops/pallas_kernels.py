@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +153,6 @@ def downsample_2d_pallas(x: Array, k=None, factor: int = 2,
                          gain: float = 1.0) -> Array:
     """Separable FIR downsample (NHWC) via two 1-D Pallas passes; matches
     ops.fir.downsample_2d for separable kernels and factor 2."""
-    from ditsep_tpu.ops.upfirdn2d import setup_fir_kernel
 
     assert factor == 2, "pallas path specializes factor 2"
     if k is None:

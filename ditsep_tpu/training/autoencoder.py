@@ -21,7 +21,7 @@ import optax
 from ditsep_tpu.models.discriminators import (
     MultiScaleSTFTDiscriminator, encodec_discriminator_loss,
 )
-from ditsep_tpu.models.oobleck import OobleckVAE, vae_sample
+from ditsep_tpu.models.oobleck import OobleckVAE
 from ditsep_tpu.training import auraloss
 from ditsep_tpu.training.schedules import inverse_lr_schedule
 

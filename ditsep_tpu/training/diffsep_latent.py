@@ -14,15 +14,14 @@ flow through encode/decode (stop_gradient), matching the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ditsep_tpu.models.oobleck import OobleckVAE
 from ditsep_tpu.sdes import pc_sample
 from ditsep_tpu.training import losses as loss_lib
-from ditsep_tpu.training.diffsep import DiffSepConfig, DiffSepTrainer
+from ditsep_tpu.training.diffsep import DiffSepTrainer
 from ditsep_tpu.utils import separate as sep_utils
 
 Array = jax.Array

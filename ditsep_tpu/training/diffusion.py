@@ -11,7 +11,7 @@ routed via the cond-id lists, mirroring ConditionedDiffusionModelWrapper
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax

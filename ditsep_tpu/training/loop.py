@@ -9,8 +9,7 @@ checkpointing on val/si_sdr, and optional mesh sharding of the batch axis.
 """
 from __future__ import annotations
 
-import time
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ def load_reference_diffsep_params(model, ckpt_path: str,
     """
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ditsep_tpu.models.torch_import import (
         import_params, load_torch_ckpt)

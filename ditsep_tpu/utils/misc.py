@@ -7,9 +7,8 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
-import os
 from pathlib import Path
-from typing import Any, List, Optional, Tuple
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,9 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

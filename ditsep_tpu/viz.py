@@ -9,7 +9,7 @@ Matplotlib-based; every function returns the Figure so callers can log it
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
