@@ -54,6 +54,22 @@ def _rows_view(x: Array) -> Tuple[Array, Tuple[int, ...]]:
     return x.reshape(-1, shape[-1]), shape
 
 
+_MAX_BLOCK_ELEMS = 512 * 1024  # ~2 MB f32 per buffer, 3 buffers < VMEM
+
+
+def _row_tile(n_rows: int, n_cols: int) -> Optional[int]:
+    """Largest divisor of n_rows keeping a (tile, n_cols) block in VMEM;
+    None if no usable tiling exists (caller falls back to XLA)."""
+    budget = max(_MAX_BLOCK_ELEMS // max(n_cols, 1), 1)
+    best = None
+    for tr in range(1, int(n_rows ** 0.5) + 1):
+        if n_rows % tr == 0:
+            for cand in (n_rows // tr, tr):
+                if cand <= budget and (best is None or cand > best):
+                    best = cand
+    return best
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_bias_act_pallas(x: Array, bias: Array,
                           negative_slope: float = 0.2,
@@ -65,14 +81,22 @@ def fused_bias_act_pallas(x: Array, bias: Array,
 
 def _fba_forward(x, bias, negative_slope, scale):
     rows, shape = _rows_view(x)
-    b = jnp.broadcast_to(bias[None, :], rows.shape)
+    tr = _row_tile(rows.shape[0], rows.shape[1])
+    if tr is None:  # fallback to the XLA composite
+        from ditsep_tpu.ops.fused_act import fused_leaky_relu
+        return fused_leaky_relu(x, bias, negative_slope, scale)
+    b = jnp.broadcast_to(bias[None, :], (tr, rows.shape[1]))
+    spec = pl.BlockSpec((tr, rows.shape[1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((tr, rows.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fba_fwd_kernel, negative_slope=negative_slope,
                           scale=scale),
         out_shape=jax.ShapeDtypeStruct(rows.shape, rows.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(rows.shape[0] // tr,),
+        in_specs=[spec, bspec],
+        out_specs=spec,
         interpret=_interpret(),
     )(rows, b)
     return out.reshape(shape)
@@ -85,14 +109,24 @@ def _fba_fwd(x, bias, negative_slope, scale):
 def _fba_bwd(negative_slope, scale, res, g):
     x, bias = res
     rows, shape = _rows_view(x)
-    b = jnp.broadcast_to(bias[None, :], rows.shape)
     g_rows = g.reshape(rows.shape)
+    tr = _row_tile(rows.shape[0], rows.shape[1])
+    if tr is None:
+        mask = (x + bias.reshape((1,) * (x.ndim - 1) + (-1,))) >= 0
+        dx = g * jnp.where(mask, scale, negative_slope * scale)
+        return dx, jnp.sum(dx, axis=tuple(range(x.ndim - 1)))
+    b = jnp.broadcast_to(bias[None, :], (tr, rows.shape[1]))
+    spec = pl.BlockSpec((tr, rows.shape[1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((tr, rows.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
         functools.partial(_fba_bwd_kernel, negative_slope=negative_slope,
                           scale=scale),
         out_shape=jax.ShapeDtypeStruct(rows.shape, rows.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(rows.shape[0] // tr,),
+        in_specs=[spec, bspec, spec],
+        out_specs=spec,
         interpret=_interpret(),
     )(rows, b, g_rows)
     dx = dx.reshape(shape)
@@ -117,10 +151,11 @@ def fir_down2_h_pallas(x: Array, taps, tile_h: int = 128) -> Array:
     FIR, e.g. the row sums of setup_fir_kernel([1,3,3,1])).
 
     Equivalent to upfirdn2d(..., down=2, pad=(1,1)) along one axis of a
-    separable kernel. Decimation is hoisted into four tap-aligned strided
-    views (XLA relayouts) so the Pallas kernel is a single evenly-tiled
-    fused multiply-add pass -- no halo blocks."""
-    taps = tuple(float(t) for t in np.asarray(taps).reshape(-1))
+    separable kernel (true convolution: taps are applied FLIPPED, like
+    upfirdn2d). Decimation is hoisted into four tap-aligned strided views
+    (XLA relayouts) so the Pallas kernel is a single evenly-tiled fused
+    multiply-add pass -- no halo blocks."""
+    taps = tuple(float(t) for t in np.asarray(taps).reshape(-1))[::-1]
     assert len(taps) == 4
     *lead, h, c = x.shape
     assert h % 2 == 0
@@ -152,13 +187,14 @@ def fir_down2_h_pallas(x: Array, taps, tile_h: int = 128) -> Array:
 def downsample_2d_pallas(x: Array, k=None, factor: int = 2,
                          gain: float = 1.0) -> Array:
     """Separable FIR downsample (NHWC) via two 1-D Pallas passes; matches
-    ops.fir.downsample_2d for separable kernels and factor 2."""
-
-    assert factor == 2, "pallas path specializes factor 2"
-    if k is None:
-        k = [1.0] * factor
-    k1 = np.asarray(k, np.float64)
-    k1 = k1 / k1.sum()
+    ops.fir.downsample_2d for separable 4-tap kernels at factor 2, and
+    falls back to the XLA composite for every other configuration."""
+    k_arr = np.asarray([1.0] * factor if k is None else k, np.float64)
+    if (factor != 2 or k_arr.ndim != 1 or k_arr.shape[0] != 4
+            or x.shape[1] % 2 or x.shape[2] % 2):
+        from ditsep_tpu.ops.fir import downsample_2d
+        return downsample_2d(x, k, factor=factor, gain=gain)
+    k1 = k_arr / k_arr.sum()
     taps_h = k1 * 1.0
     taps_w = k1 * gain
     # H pass

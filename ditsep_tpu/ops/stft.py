@@ -176,19 +176,22 @@ def istft(
     w2 = (win.astype(np.float64)) ** 2
     for i in range(n_frames):
         env[i * hop_length : i * hop_length + n_fft] += w2
-    if center:
-        pad = n_fft // 2
-        out = out[:, pad : t_full - pad]
-        env = env[pad : t_full - pad]
+
+    # torch.istft semantics: slice [pad : pad + length] from the UNTRIMMED
+    # overlap-add buffer (so a requested `length` can consume the tail
+    # samples beyond the default (n_frames-1)*hop output), padding zeros
+    # only past the end of the buffer
+    start = n_fft // 2 if center else 0
+    default_len = t_full - 2 * start
+    want = default_len if length is None else length
+    end = min(start + want, t_full)
+    out = out[:, start:end]
+    env_s = env[start:end]
     # NOLA guard as in torch.istft (nonzero envelope in the retained region)
-    env = np.where(env > 1e-11, env, 1.0).astype(np.float32)
-    out = out / jnp.asarray(env)
+    env_s = np.where(env_s > 1e-11, env_s, 1.0).astype(np.float32)
+    out = out / jnp.asarray(env_s)
+    if end - start < want:
+        out = jnp.pad(out, ((0, 0), (0, want - (end - start))))
 
     out = out.reshape(batch_shape + (out.shape[-1],))
-    if length is not None:
-        cur = out.shape[-1]
-        if cur < length:
-            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - cur)])
-        else:
-            out = out[..., :length]
     return out

@@ -206,8 +206,13 @@ class MixSDE(BaseSDE):
         return ev1, ev2
 
     def var(self, t: Array) -> Array:
+        """Per-component marginal variance of (sqrt(ev1) A + sqrt(ev2) Pn) z:
+        diag(ev1 A + ev2 Pn) = ev1/n + ev2 (n-1)/n. The reference hardcodes
+        the n=2 weights 0.5/0.5 (src/sdes/sdes.py:313-315) although ndim is
+        configurable; we use the general weights (identical for n=2)."""
         ev1, ev2 = self.cov_eigval(t)
-        return 0.5 * (ev1 + ev2)
+        n = self.ndim
+        return ev1 / n + ev2 * (n - 1) / n
 
     def std(self, t: Array, state_ndim: int = 3) -> MixStd:
         ev1, ev2 = self.cov_eigval(t)
@@ -225,8 +230,9 @@ class MixSDE(BaseSDE):
         return mix_mult_inv(std.a, std.b, x)
 
     def std_scalar(self, std: MixStd) -> Array:
-        # RMS of the eigenvalue sqrt: matches sqrt(var) used for scalar steps
-        return jnp.sqrt(0.5 * (std.a ** 2 + std.b ** 2))
+        # sqrt of the per-component marginal variance (see `var`)
+        n = self.ndim
+        return jnp.sqrt(std.a ** 2 / n + std.b ** 2 * (n - 1) / n)
 
     def prior_sampling(self, key: Array, shape: Tuple[int, ...], mix: Array):
         """x_T ~ N(broadcast(mix / n), Sigma(T)). `mix` is (B, 1, T) or
@@ -306,13 +312,18 @@ class PriorMixSDE(MixSDE):
         return self.mean(x0, t), self.std(t, mix, x0.ndim)
 
     def mult_std(self, std: PriorMixStd, x: Array) -> Array:
-        return mix_mult(std.a, std.b, x) * std.sig
+        # L = (a A + b Pn) @ diag(sig): scale FIRST, then mix (the
+        # reference scales L's columns, src/sdes/sdes.py:528-534); the
+        # order only matters when sig differs across source channels
+        return mix_mult(std.a, std.b, std.sig * x)
 
     def mult_std_inv(self, std: PriorMixStd, x: Array) -> Array:
-        return mix_mult_inv(std.a, std.b, x / std.sig)
+        return mix_mult_inv(std.a, std.b, x) / std.sig
 
     def std_scalar(self, std: PriorMixStd) -> Array:
-        return jnp.sqrt(0.5 * (std.a ** 2 + std.b ** 2)) * std.sig
+        n = self.ndim
+        return jnp.sqrt(std.a ** 2 / n
+                        + std.b ** 2 * (n - 1) / n) * std.sig
 
     def prior_sampling(self, key: Array, shape: Tuple[int, ...], mix: Array):
         b = mix.shape[0]

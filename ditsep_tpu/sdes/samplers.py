@@ -148,9 +148,12 @@ def ab2_sample(
     shape = (batch, n_spkrs) + tuple(y.shape[2:])
     key, k_prior = jax.random.split(key)
     x0 = sde.prior_sampling(k_prior, shape, y)
-    timesteps = jnp.linspace(sde.T, eps, n)
-    dt = (sde.T - eps) / (n - 1) if n > 1 else (sde.T - eps)
-    step_keys = jax.random.split(key, n)
+    # n-point grid -> n-1 integration segments (evaluating the drift at
+    # the segment's left endpoint); the final denoise step makes NFE = n
+    n_steps = max(n - 1, 1)
+    timesteps = jnp.linspace(sde.T, eps, n)[:n_steps]
+    dt = (sde.T - eps) / n_steps
+    step_keys = jax.random.split(key, n_steps)
 
     def drift(x, t_scalar):
         t_vec = jnp.full((batch,), t_scalar, dtype=y.dtype)
@@ -176,9 +179,9 @@ def ab2_sample(
 
     (x_final, _, _), means = jax.lax.scan(
         step, (x0, jnp.zeros_like(x0), jnp.zeros(())),
-        (jnp.arange(n), timesteps, step_keys))
+        (jnp.arange(n_steps), timesteps, step_keys))
     x = means[-1] if not stochastic else x_final
-    nfe = n
+    nfe = n_steps
     if denoise:
         # final noise-free reverse-diffusion step at t=eps (the PC
         # sampler's denoise convention removes the t_eps truncation floor)

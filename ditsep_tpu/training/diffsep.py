@@ -404,9 +404,15 @@ class DiffSepTrainer:
         (mix, _), mean, std = sep_utils.normalize_batch((mix, None))
         score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
         if self.is_edm:
+            sde = self.sde
+            if N is not None:
+                sde = dataclasses.replace(sde, N=N)
+            # note: snr/corrector_steps do not apply to the SB sampler
+            # (it has no corrector), matching the reference's
+            # get_sb_sampler signature (src/diffsep.py:1159-1163)
             est, nfe = sb_sample(
-                self.sde, score_fn, key, mix,
-                sampler_type=self.sde.sampler_type,
+                sde, score_fn, key, mix,
+                sampler_type=sde.sampler_type,
                 n_spkrs=cfg.n_speakers, **kwargs)
         elif sampler == "ab2":
             est, nfe = ab2_sample(

@@ -84,7 +84,9 @@ def fit(
     state = trainer.init_state(init_params)
     if resume:
         try:
-            state = ckpt.restore(state)
+            # resume from the rolling latest checkpoint (NOT the
+            # best-metric one, which may be far behind)
+            state = ckpt.restore(state, prefer="latest")
         except FileNotFoundError:
             pass
 
@@ -153,6 +155,9 @@ def fit(
                 val_metrics["val/si_sdr"] = float(np.mean(si_sdrs))
             logger.log(val_metrics, global_step)
             ckpt.save(state, global_step, val_metrics)
+        # rolling latest checkpoint every epoch regardless of validation
+        # (training without a val set must still be crash-resumable)
+        ckpt.save_latest(state, global_step)
         if stop:
             break
     logger.close()

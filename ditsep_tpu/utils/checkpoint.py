@@ -92,21 +92,49 @@ class CheckpointManager:
         os.symlink(best, tmp)
         os.replace(tmp, link)
 
+    def save_latest(self, state: Any, step: int) -> str:
+        """Unconditionally write/overwrite the rolling 'latest' checkpoint
+        (crash-resume anchor, independent of the metric-ranked top-k)."""
+        ocp = _ocp()
+        tmp = self.dir / ".latest.tmp"
+        final = self.dir / "latest"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tmp.absolute(), state)
+        ckptr.wait_until_finished()
+        (tmp / "step.json").write_text(json.dumps({"step": int(step)}))
+        if final.exists():
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return str(final)
+
     def best_path(self) -> Optional[str]:
         link = self.dir / "best-model"
         return str(link.resolve()) if link.exists() else None
 
     def latest_path(self) -> Optional[str]:
+        """The rolling 'latest' checkpoint if present, else the newest
+        (highest-step) retained top-k checkpoint."""
+        rolling = self.dir / "latest"
+        if rolling.exists():
+            return str(rolling)
         if not self._index:
             return None
         name = sorted(self._index)[-1]
         return str(self.dir / name)
 
-    def restore(self, template: Any, path: Optional[str] = None) -> Any:
-        """Restore into the structure/shardings of `template`."""
+    def restore(self, template: Any, path: Optional[str] = None,
+                prefer: str = "latest") -> Any:
+        """Restore into the structure/shardings of `template`.
+        prefer='latest' resumes training where it stopped; 'best' loads
+        the top-metric checkpoint (evaluation)."""
         ocp = _ocp()
         if path is None:
-            path = self.best_path() or self.latest_path()
+            if prefer == "latest":
+                path = self.latest_path() or self.best_path()
+            else:
+                path = self.best_path() or self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoints under {self.dir}")
         ckptr = ocp.StandardCheckpointer()

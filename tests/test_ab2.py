@@ -28,7 +28,7 @@ def test_ab2_matches_pc_quality_at_half_nfe():
     y = jnp.ones((2, 1, 64)) * c
     ab2, nfe_ab2 = ab2_sample(sde, score_fn, KEY, y, N=30, n_spkrs=2)
     pc, nfe_pc = pc_sample(sde, score_fn, KEY, y, N=30, corrector="ald")
-    assert nfe_ab2 == 31 and nfe_pc == 60
+    assert nfe_ab2 == 30 and nfe_pc == 60
     err_ab2 = float(jnp.abs(ab2 - c).max())
     err_pc = float(jnp.abs(pc - c).max())
     assert err_ab2 < 2.5 * err_pc  # comparable accuracy at half the NFE
@@ -59,5 +59,5 @@ def test_ab2_through_trainer_separate():
     est, nfe = tr.separate(params, jax.random.PRNGKey(1), mix, N=4,
                            sampler="ab2")
     assert est.shape == (1, 2, 4000)
-    assert nfe == 5
+    assert nfe == 4
     assert np.isfinite(np.asarray(est)).all()
