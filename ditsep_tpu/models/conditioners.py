@@ -107,6 +107,29 @@ class PretransformConditioner(nn.Module):
         return emb, jnp.ones(emb.shape[:2], bool)
 
 
+def clap_encode_host(texts=None, audio=None,
+                     model_name: str = "laion/larger_clap_general"):
+    """Host-side CLAP text/audio embeddings via the optional transformers
+    package (reference: conditioners.py CLAPTextConditioner /
+    CLAPAudioConditioner). Returns (embeddings (B, 1, D), mask)."""
+    import numpy as np
+    import torch
+    from transformers import AutoProcessor, ClapModel
+
+    model = ClapModel.from_pretrained(model_name).eval()
+    proc = AutoProcessor.from_pretrained(model_name)
+    with torch.no_grad():
+        if texts is not None:
+            inputs = proc(text=texts, return_tensors="pt", padding=True)
+            emb = model.get_text_features(**inputs)
+        else:
+            inputs = proc(audios=list(audio), sampling_rate=48000,
+                          return_tensors="pt")
+            emb = model.get_audio_features(**inputs)
+    emb = emb[:, None, :].numpy()
+    return emb, np.ones(emb.shape[:2], bool)
+
+
 def t5_encode_host(texts: List[str], model_name: str = "t5-base",
                    max_length: int = 128):
     """Host-side T5 text encoding via the optional `transformers` package

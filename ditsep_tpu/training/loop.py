@@ -112,6 +112,32 @@ def fit(
 
     global_step = int(state.step)
     stop = False
+    try:
+        state, global_step = _train_epochs(
+            trainer, state, loader, val_loader, step_fn, key, mesh,
+            logger, ckpt, global_step, max_epochs, max_steps, log_every,
+            valid_max_sep_batches, val_sampler_N, seed)
+    except Exception:
+        # emergency checkpoint so a crash loses at most one epoch
+        # (the reference only prints exceptions, src/train_ldm.py:16-18)
+        try:
+            ckpt.save_latest(state, global_step)
+        except Exception:
+            pass
+        raise
+    logger.close()
+    return state
+
+
+def _train_epochs(trainer, state, loader, val_loader, step_fn, key, mesh,
+                  logger, ckpt, global_step, max_epochs, max_steps,
+                  log_every, valid_max_sep_batches, val_sampler_N, seed):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stop = False
     for epoch in range(max_epochs):
         loader.seed = seed + epoch
         for mix_b, tgt_b in loader:
@@ -160,5 +186,4 @@ def fit(
         ckpt.save_latest(state, global_step)
         if stop:
             break
-    logger.close()
-    return state
+    return state, global_step

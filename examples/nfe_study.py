@@ -66,8 +66,8 @@ def main():
         ("pc_N30", dict(N=30, sampler="pc"), 60),
         ("pc_N15", dict(N=15, sampler="pc"), 30),
         ("pc_N8", dict(N=8, sampler="pc"), 16),
-        ("ab2_N30", dict(N=30, sampler="ab2"), 31),
-        ("ab2_N15", dict(N=15, sampler="ab2"), 16),
+        ("ab2_N30", dict(N=30, sampler="ab2"), 30),
+        ("ab2_N15", dict(N=15, sampler="ab2"), 15),
     ]:
         f = jax.jit(lambda p, k, m, kw=kwargs: trainer.separate(
             p, k, m, **kw)[0])
