@@ -434,6 +434,28 @@ class DiffSepTrainer:
         est = sep_utils.denormalize_batch(est, mean, std)
         return est, nfe
 
+    def separate_minibatched(self, params, key, mix, *,
+                             max_batch: int = 4, **kwargs):
+        """Memory-bounded separation: split the batch into chunks of
+        `max_batch` and sample each through the jitted path (the
+        reference's minibatched sampling closure,
+        src/diffsep.py:658-695). The final short chunk is padded to the
+        static shape and trimmed, so only one program compiles."""
+        b = mix.shape[0]
+        nfe = None
+        outs = []
+        for start in range(0, b, max_batch):
+            chunk = mix[start:start + max_batch]
+            n_real = chunk.shape[0]
+            if n_real < max_batch:  # pad to the static chunk shape
+                reps = max_batch - n_real
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], reps, axis=0)], axis=0)
+            key, sub = jax.random.split(key)
+            est, nfe = self.separate(params, sub, chunk, **kwargs)
+            outs.append(est[:n_real])
+        return jnp.concatenate(outs, axis=0), nfe
+
     def val_separation_metrics(self, params, key, batch, **kwargs) -> Dict:
         """Separation + SI-SDR for validation monitoring
         (reference: src/diffsep.py:474-500)."""
