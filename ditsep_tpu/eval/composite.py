@@ -177,8 +177,8 @@ def _trim_mos(v: float) -> float:
 def eval_composite(ref: np.ndarray, deg: np.ndarray, fs: int = 16000,
                    alpha: float = 0.95) -> Dict[str, float]:
     """CSIG/CBAK/COVL (reference: src/evaluate/evaluate_covl.py:18-56).
-    PESQ enters through the optional `pesq` package; without it the
-    composite values are NaN (the regression needs PESQ)."""
+    PESQ enters through `pesq_metric` (ITU package when installed, else
+    the in-repo P.862 implementation), so the composites are finite."""
     ref = np.asarray(ref).reshape(-1)
     deg = np.asarray(deg).reshape(-1)
     n = min(len(ref), len(deg))

@@ -11,8 +11,8 @@ Replaces the reference's external metric stack — fast_bss_eval
 * STOI/ESTOI implemented from Taal et al. 2011 / Jensen & Taal 2016
   (the pystoi algorithm): 10 kHz resample, silent-frame removal,
   third-octave bands, 384 ms segments.
-* PESQ (ITU-T P.862) is only available through the optional `pesq`
-  package; `pesq_metric` returns NaN when it is absent.
+* PESQ (ITU-T P.862) uses the optional `pesq` package when present and
+  otherwise the in-repo numpy implementation (pesq_p862.py).
 
 All metrics are host-side numpy (they run on CPU threads while the TPU
 samples the next batch).
@@ -201,15 +201,19 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int,
 # ----------------------------------------------------------------- PESQ --
 def pesq_metric(ref: np.ndarray, est: np.ndarray, fs: int,
                 mode: str = "nb") -> float:
-    """ITU-T P.862 PESQ via the optional `pesq` package; NaN if absent
-    (reference uses pesq directly, src/evaluate_mp.py:29)."""
+    """ITU-T P.862 PESQ (MOS-LQO). Uses the ITU-wrapping `pesq` package
+    when installed (bit-exact with the reference, src/evaluate_mp.py:29);
+    otherwise falls back to the in-repo numpy implementation
+    (ditsep_tpu.eval.pesq_p862), which follows the P.862 algorithm chain
+    and is calibrated on synthetic pairs."""
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    est = np.asarray(est, np.float64).reshape(-1)
     try:
         from pesq import pesq as _pesq
     except ImportError:
-        return float("nan")
+        from ditsep_tpu.eval.pesq_p862 import pesq as _pesq
     try:
-        return float(_pesq(fs, np.asarray(ref, np.float64).reshape(-1),
-                           np.asarray(est, np.float64).reshape(-1), mode))
+        return float(_pesq(fs, ref, est, mode))
     except Exception:
         return float("nan")
 
