@@ -456,11 +456,16 @@ class DiffSepTrainer:
             outs.append(est[:n_real])
         return jnp.concatenate(outs, axis=0), nfe
 
-    def val_separation_metrics(self, params, key, batch, **kwargs) -> Dict:
+    def val_separation_metrics(self, params, key, batch,
+                               return_est: bool = False, **kwargs):
         """Separation + SI-SDR for validation monitoring
-        (reference: src/diffsep.py:474-500)."""
+        (reference: src/diffsep.py:474-500). With ``return_est`` the
+        separated estimates come back too (for rich-media val demos)."""
         mix, target = batch
         est, _ = self.separate(params, key, mix, **kwargs)
         si_sdr = loss_lib.si_sdr_loss(
             est, target, zero_mean=True, clamp_db=30.0, sign_flip=True)
-        return {"val/si_sdr": si_sdr}
+        metrics = {"val/si_sdr": si_sdr}
+        if return_est:
+            return metrics, est
+        return metrics

@@ -60,6 +60,8 @@ def fit(
     resume: bool = False,
     max_steps: Optional[int] = None,
     init_params=None,
+    log_media: bool = True,
+    media_fs: int = 8000,
 ):
     """Train a DiffSepTrainer (or compatible) to convergence."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -90,7 +92,16 @@ def fit(
         except FileNotFoundError:
             pass
 
-    in_shardings = None
+    # jit train AND validation: eager per-op dispatch of the val separation
+    # would be per-op RPC over the device link (docs/tpu_notes.md); every
+    # val function compiles once per bucket shape and is reused across
+    # epochs.
+    val_kw = {"N": val_sampler_N} if val_sampler_N is not None else {}
+
+    def _val_sep(params, key, batch):
+        return trainer.val_separation_metrics(params, key, batch,
+                                              return_est=True, **val_kw)
+
     if mesh is not None:
         data_sh = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
@@ -98,8 +109,13 @@ def fit(
         step_fn = jax.jit(trainer.train_step,
                           in_shardings=(repl, repl, (data_sh, data_sh)),
                           out_shardings=(repl, repl))
+        batch_sh = (repl, repl, (data_sh, data_sh))
+        val_loss_fn = jax.jit(trainer.val_score_loss, in_shardings=batch_sh)
+        val_sep_fn = jax.jit(_val_sep, in_shardings=batch_sh)
     else:
         step_fn = jax.jit(trainer.train_step)
+        val_loss_fn = jax.jit(trainer.val_score_loss)
+        val_sep_fn = jax.jit(_val_sep)
 
     loader = BucketedLoader(train_dataset, batch_size=batch_size,
                             n_buckets=n_buckets, multiple=bucket_multiple,
@@ -111,12 +127,12 @@ def fit(
                                     shuffle=False)
 
     global_step = int(state.step)
-    stop = False
     try:
         state, global_step = _train_epochs(
-            trainer, state, loader, val_loader, step_fn, key, mesh,
-            logger, ckpt, global_step, max_epochs, max_steps, log_every,
-            valid_max_sep_batches, val_sampler_N, seed)
+            trainer, state, loader, val_loader, step_fn, val_loss_fn,
+            val_sep_fn, key, mesh, logger, ckpt, global_step, max_epochs,
+            max_steps, log_every, valid_max_sep_batches, seed,
+            log_media, media_fs)
     except Exception:
         # emergency checkpoint so a crash loses at most one epoch
         # (the reference only prints exceptions, src/train_ldm.py:16-18)
@@ -129,24 +145,79 @@ def fit(
     return state
 
 
-def _train_epochs(trainer, state, loader, val_loader, step_fn, key, mesh,
-                  logger, ckpt, global_step, max_epochs, max_steps,
-                  log_every, valid_max_sep_batches, val_sampler_N, seed):
+def _prefetch(iterable, prepare, depth: int = 2):
+    """Run `prepare` (host collate + device_put) for upcoming items on a
+    background thread so step N+1's batch is already on device while step
+    N runs (the reference leans on torch DataLoader workers for this,
+    src/config/diffsep/datamodule/default.yaml:3; here one thread
+    suffices because bucketing makes collation cheap)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(prepare(item))
+            q.put(sentinel)
+        except BaseException as e:  # surface loader errors in main thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _log_val_media(logger, batch, est, step: int, fs: int) -> None:
+    """Rich-media validation demos: separated wavs + spectrogram grid for
+    the first utterance of the first val batch (reference:
+    src/ldm.py:630-726 LDMDemoCallback,
+    src/stable_audio_tools/training/utils.py:117-148)."""
+    import numpy as np
+
+    try:
+        from ditsep_tpu.viz import separation_figure
+        mix = np.asarray(batch[0][0]).reshape(-1)
+        tgt = np.asarray(batch[1][0])
+        e = np.asarray(est[0])
+        logger.log_audio("val/mix", mix, step, fs)
+        for i in range(e.shape[0]):
+            logger.log_audio(f"val/est_{i}", e[i], step, fs)
+        logger.log_figure(
+            "val/spectrograms", separation_figure(mix, e, tgt, fs=fs), step)
+    except Exception:
+        # media logging must never take down a training run
+        pass
+
+
+def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
+                  val_sep_fn, key, mesh, logger, ckpt, global_step,
+                  max_epochs, max_steps, log_every, valid_max_sep_batches,
+                  seed, log_media=True, media_fs=8000):
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if mesh is not None:
+        data_sh = NamedSharding(mesh, P("data"))
+        prepare = lambda b: jax.device_put(
+            (jnp.asarray(b[0]), jnp.asarray(b[1])), data_sh)
+    else:
+        prepare = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))
+
     stop = False
     for epoch in range(max_epochs):
         loader.seed = seed + epoch
-        for mix_b, tgt_b in loader:
+        for batch in _prefetch(loader, prepare):
             key, k_step = jax.random.split(key)
-            batch = (jnp.asarray(mix_b), jnp.asarray(tgt_b))
-            if mesh is not None:
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(
-                        x, NamedSharding(mesh, P("data"))), batch)
             state, metrics = step_fn(state, k_step, batch)
             global_step += 1
             if global_step % log_every == 0:
@@ -165,15 +236,20 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, key, mesh,
             for mix_b, tgt_b in val_loader:
                 key, k1, k2 = jax.random.split(key, 3)
                 batch = (jnp.asarray(mix_b), jnp.asarray(tgt_b))
+                if mesh is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(
+                            x, NamedSharding(mesh, P("data"))), batch)
                 score_losses.append(float(jnp.mean(
-                    trainer.val_score_loss(state.params, k1, batch))))
+                    val_loss_fn(state.params, k1, batch))))
                 if n_sep < valid_max_sep_batches:
                     n_sep += 1
-                    m = trainer.val_separation_metrics(
-                        state.ema_params, k2, batch,
-                        **({"N": val_sampler_N}
-                           if val_sampler_N is not None else {}))
+                    # EMA params at eval, reference src/diffsep.py:586-606
+                    m, est = val_sep_fn(state.ema_params, k2, batch)
                     si_sdrs.append(float(m["val/si_sdr"]))
+                    if n_sep == 1 and log_media:
+                        _log_val_media(logger, batch, est, global_step,
+                                       media_fs)
             if score_losses:
                 val_metrics["val/score_loss"] = float(
                     np.mean(score_losses))

@@ -36,6 +36,56 @@ class MetricsLogger:
             except ImportError:
                 pass
 
+    def log_audio(self, tag: str, wav, step: int, fs: int = 8000) -> None:
+        """Log a mono waveform demo (reference: log_audio in
+        src/stable_audio_tools/training/utils.py:117-148, LDMDemoCallback
+        src/ldm.py:630-726). Normalised to peak 1 for playback.
+
+        The audio Summary proto is built directly (stdlib WAV encoding):
+        tensorboardX.add_audio needs the soundfile package, absent here.
+        """
+        import numpy as np
+        x = np.asarray(wav, np.float32).reshape(-1)
+        peak = float(np.max(np.abs(x))) or 1.0
+        x = x / max(peak, 1e-8)
+        if self._tb is not None:
+            import io
+            import wave
+
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(fs)
+                w.writeframes(
+                    (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes())
+            from tensorboardX.proto.summary_pb2 import Summary
+            audio = Summary.Audio(
+                sample_rate=float(fs), num_channels=1,
+                length_frames=len(x),
+                encoded_audio_string=buf.getvalue(),
+                content_type="audio/wav")
+            self._tb._get_file_writer().add_summary(
+                Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({tag: wandb.Audio(x, sample_rate=fs)},
+                            step=step)
+
+    def log_figure(self, tag: str, fig, step: int) -> None:
+        """Log a matplotlib figure (spectrograms, PCA clouds; reference:
+        aeiou.py:18-279 media helpers). Closes the figure after writing."""
+        if self._tb is not None:
+            self._tb.add_figure(tag, fig, step, close=False)
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({tag: wandb.Image(fig)}, step=step)
+        try:
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+        except Exception:
+            pass
+
     def log(self, metrics: Dict[str, float], step: int) -> None:
         rec = {"step": int(step), "time": time.time(),
                **{k: float(v) for k, v in metrics.items()}}
