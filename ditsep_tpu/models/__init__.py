@@ -18,6 +18,8 @@ from ditsep_tpu.models.score_models import (
     ScoreModelNCSNpp,
 )
 from ditsep_tpu.models.torch_import import (
+    diffsep_ema_param_order,
+    import_diffsep_ema,
     import_ema_params,
     import_params,
     load_torch_ckpt,

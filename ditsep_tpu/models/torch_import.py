@@ -266,3 +266,66 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
         obj = obj["state_dict"]
     return {k: v.detach().cpu().numpy() for k, v in obj.items()
             if hasattr(v, "detach")}
+
+
+# Known non-trainable entries in the reference's NCSNpp state_dict:
+# torch_ema's shadow list covers requires-grad parameters only, so these
+# must be skipped when reconstructing parameters() order from state_dict
+# key order (state_dict preserves registration order).
+#   - 'sigmas': registered buffer (reference src/models/diffsep/
+#     ncsnpp.py:104)
+#   - GaussianFourierProjection 'W' at all_modules.0:
+#     nn.Parameter(requires_grad=False) (reference src/models/diffsep/
+#     ncsnpp_utils/layerspp.py:37-46). NOTE: NIN layers also expose a 'W'
+#     leaf (layers.py NIN) but those ARE trainable -- only the Fourier
+#     projection at module index 0 is frozen.
+_NCSNPP_NON_TRAINABLE_SUFFIXES = ("sigmas", "all_modules.0.W")
+
+
+def diffsep_ema_param_order(state_dict_keys) -> List[str]:
+    """Reconstruct torch ``parameters()`` order (requires-grad only) from
+    a DiffSep/NCSNpp checkpoint's state_dict key order.
+
+    torch_ema stores ``shadow_params`` as a flat list over
+    ``[p for p in parameters() if p.requires_grad]``; nn.Module state_dict
+    iteration preserves the same registration order with buffers and
+    frozen parameters interleaved, so filtering those reproduces the
+    shadow order (reference: src/diffsep.py:578-609, torch_ema semantics).
+    """
+    return [k for k in state_dict_keys
+            if not any(k.endswith(s) for s in
+                       _NCSNPP_NON_TRAINABLE_SUFFIXES)]
+
+
+def import_diffsep_ema(
+    flax_params: Mapping[str, Any],
+    ckpt: Mapping[str, Any],
+    prefix: str = "score_model.backbone.",
+) -> Dict[str, Any]:
+    """Import the EMA weights embedded in a full DiffSep Lightning
+    checkpoint (``ckpt['ema']['shadow_params']``, written by
+    on_save_checkpoint, reference: src/diffsep.py:608-609) onto a flax
+    score-model tree. ``ckpt`` is the loaded checkpoint object (pass
+    ``torch.load(path, map_location='cpu')`` or an equivalent dict whose
+    tensors expose ``.detach()`` or are numpy already).
+    """
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+
+    state = {k: to_np(v) for k, v in ckpt["state_dict"].items()}
+    shadows = [to_np(v) for v in ckpt["ema"]["shadow_params"]]
+    order = diffsep_ema_param_order(
+        [k for k in state if k.startswith(prefix)])
+    if len(order) != len(shadows):
+        raise ValueError(
+            f"EMA shadow list has {len(shadows)} tensors but the "
+            f"checkpoint has {len(order)} trainable parameters under "
+            f"{prefix!r}")
+    # EMA covers trainable parameters only; frozen leaves (Fourier W) and
+    # buffers keep their state_dict values (torch_ema copy_to semantics).
+    ema_state = dict(zip(order, shadows))
+    for k, v in state.items():
+        ema_state.setdefault(k, v)
+    return import_params(flax_params, ema_state, prefix=prefix,
+                         strict=True)

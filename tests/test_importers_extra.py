@@ -69,6 +69,61 @@ def test_ema_shadow_import_by_parameter_order():
     assert k.endswith("weight") or k.endswith("W") or k.endswith("b")
 
 
+def test_import_diffsep_ema_full_checkpoint_numerical_parity():
+    """Synthetic torch-ema Lightning checkpoint -> EMA flax tree: the
+    flax model under imported EMA params must match the torch model with
+    the shadow weights copied in (torch_ema copy_to semantics,
+    reference: src/diffsep.py:578-609)."""
+    from ditsep_tpu.models import import_diffsep_ema
+
+    tm = _torch_model()
+    # Build the checkpoint exactly as the reference saves it: full
+    # state_dict under 'score_model.backbone.' + ema.shadow_params as a
+    # flat list over requires-grad parameters in parameters() order.
+    state_dict = {f"score_model.backbone.{k}": v
+                  for k, v in tm.state_dict().items()}
+    shadows = [(p.detach() * 0.75 + 0.01)
+               for p in tm.parameters() if p.requires_grad]
+    ckpt = {"state_dict": state_dict,
+            "ema": {"shadow_params": shadows, "decay": 0.999,
+                    "num_updates": 123}}
+
+    fm = NCSNpp(**CFG)
+    x_np = np.random.default_rng(0).standard_normal(
+        (1, 64, 16, 4)).astype(np.float32)
+    t_np = np.full((1,), 0.5, np.float32)
+    variables = fm.init(KEY, jnp.asarray(x_np), jnp.asarray(t_np))
+    ema_params = import_diffsep_ema(variables["params"], ckpt)
+
+    # torch side: copy shadows into the model (ema.copy_to)
+    with torch.no_grad():
+        for p, s in zip((p for p in tm.parameters() if p.requires_grad),
+                        shadows):
+            p.copy_(s)
+        tm.eval()
+        # flax model is NHWC, torch oracle NCHW
+        out_t = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(t_np)).numpy().transpose(0, 2, 3, 1)
+
+    out_f = np.asarray(fm.apply({"params": ema_params}, jnp.asarray(x_np),
+                                jnp.asarray(t_np)))
+    np.testing.assert_allclose(out_f, out_t, rtol=2e-3, atol=2e-4)
+
+
+def test_import_diffsep_ema_rejects_mismatched_shadow_count():
+    from ditsep_tpu.models import import_diffsep_ema
+
+    tm = _torch_model()
+    state_dict = {f"score_model.backbone.{k}": v
+                  for k, v in tm.state_dict().items()}
+    ckpt = {"state_dict": state_dict,
+            "ema": {"shadow_params": [torch.zeros(3)]}}
+    fm = NCSNpp(**CFG)
+    variables = fm.init(KEY, jnp.zeros((1, 64, 16, 4)), jnp.full((1,), 0.5))
+    with pytest.raises(ValueError, match="shadow list"):
+        import_diffsep_ema(variables["params"], ckpt)
+
+
 def test_priormix_trainer_varprop():
     """PriorMixSDE + varprop time sampling through the full trainer."""
     model = ScoreModelNCSNpp(num_sources=2, nf=16, ch_mult=(1, 1),
