@@ -14,6 +14,12 @@ from ditsep_tpu.data.dataset import (
     volume_norm,
 )
 from ditsep_tpu.data.vctk_demand import NoisyDataset
+from ditsep_tpu.data.webdataset import (
+    LocalWebDatasetConfig,
+    S3DatasetConfig,
+    WebDatasetDataLoader,
+    create_dataloader_from_config,
+)
 from ditsep_tpu.data.wsj0_mix import (
     BucketedLoader,
     SyntheticMixDataset,
