@@ -17,6 +17,14 @@ from ditsep_tpu.models.score_models import (
     LatentScoreModelNCSNpp,
     ScoreModelNCSNpp,
 )
+from ditsep_tpu.models.unet1d import (
+    NumberEmbedder,
+    UNet1d,
+    UNetCFG1d,
+    UNetCondAdapter,
+    UNetNCCA1d,
+    XUNet1d,
+)
 from ditsep_tpu.models.torch_import import (
     diffsep_ema_param_order,
     import_diffsep_ema,

@@ -39,6 +39,21 @@ def create_bottleneck_from_config(cfg: Dict[str, Any]):
         return RVQBottleneck(q)
     if kind == "fsq":
         return FSQBottleneck(levels=tuple(c.get("levels", (8, 5, 5, 5))))
+    if kind in ("dac_rvq", "dac_rvq_vae"):
+        # (reference: factory.py:116-151)
+        from ditsep_tpu.models.bottleneck import (
+            DACResidualVQ, DACRVQBottleneck, DACRVQVAEBottleneck)
+        q = DACResidualVQ(
+            input_dim=c.get("input_dim", c.get("dim", 64)),
+            n_codebooks=c.get("n_codebooks", 9),
+            codebook_size=c.get("codebook_size", 1024),
+            codebook_dim=c.get("codebook_dim", 8))
+        if kind == "dac_rvq":
+            return DACRVQBottleneck(
+                q, quantize_on_decode=c.get("quantize_on_decode", False),
+                noise_augment_dim=c.get("noise_augment_dim", 0))
+        return DACRVQVAEBottleneck(
+            q, quantize_on_decode=c.get("quantize_on_decode", False))
     raise NotImplementedError(f"Unknown bottleneck type: {kind}")
 
 
@@ -77,17 +92,24 @@ def create_diffusion_cond_from_config(cfg: Dict[str, Any]):
     model = cfg["model"]
     diff = model["diffusion"]
     dit_cfg = diff.get("config", {})
-    dit = DiffusionTransformer(
-        io_channels=diff.get("io_channels",
-                             model.get("io_channels", 64)),
-        embed_dim=dit_cfg.get("embed_dim", 768),
-        depth=dit_cfg.get("depth", 12),
-        num_heads=dit_cfg.get("num_heads", 8),
-        cond_token_dim=dit_cfg.get("cond_token_dim", 0),
-        global_cond_dim=dit_cfg.get("global_cond_dim", 0),
-        project_cond_tokens=dit_cfg.get("project_cond_tokens", True),
-        diffusion_objective=diff.get("diffusion_objective", "v"),
-    )
+    diff_type = diff.get("type", "dit")
+    if diff_type in ("adp_cfg_1d", "adp_1d"):
+        # audio-diffusion-pytorch UNet family (reference:
+        # models/diffusion.py:645-648 UNetCFG1DWrapper/UNet1DCondWrapper)
+        from ditsep_tpu.models.unet1d import create_unet_from_config
+        dit = create_unet_from_config(diff_type, dit_cfg)
+    else:
+        dit = DiffusionTransformer(
+            io_channels=diff.get("io_channels",
+                                 model.get("io_channels", 64)),
+            embed_dim=dit_cfg.get("embed_dim", 768),
+            depth=dit_cfg.get("depth", 12),
+            num_heads=dit_cfg.get("num_heads", 8),
+            cond_token_dim=dit_cfg.get("cond_token_dim", 0),
+            global_cond_dim=dit_cfg.get("global_cond_dim", 0),
+            project_cond_tokens=dit_cfg.get("project_cond_tokens", True),
+            diffusion_objective=diff.get("diffusion_objective", "v"),
+        )
     routing = CondRouting(
         cross_attn_cond_ids=tuple(diff.get("cross_attention_cond_ids", ())),
         global_cond_ids=tuple(diff.get("global_cond_ids", ())),
