@@ -122,7 +122,17 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None,
                  mask: Optional[Array] = None,
-                 rotary_pos_emb: Optional[Array] = None) -> Array:
+                 rotary_pos_emb: Optional[Array] = None,
+                 cache: Optional[Tuple[Array, Array]] = None,
+                 cache_index: Optional[Array] = None):
+        """Standard call returns the attended output. With ``cache`` (a
+        (k_cache, v_cache) pair of (B, H, S_max, Dh) arrays) and
+        ``cache_index`` (scalar absolute position of x[0]), runs
+        incremental decoding: new K/V are written at cache_index.. and
+        attention reads the whole cache with positions > the current
+        query masked; returns (out, new_cache). One jitted step program +
+        a lax.scan replaces the reference's per-token cache bookkeeping
+        (reference: lm_backbone.py use_generation_cache)."""
         h = self.dim // self.dim_heads
         out_init = (nn.initializers.zeros if self.zero_init_output
                     else nn.initializers.lecun_normal())
@@ -157,6 +167,34 @@ class Attention(nn.Module):
                              min=1e-12)
             k = k / jnp.clip(jnp.linalg.norm(k, axis=-1, keepdims=True),
                              min=1e-12)
+
+        if cache is not None:
+            assert self.dim_context is None, "cache is for self-attention"
+            assert cache_index is not None
+            qn = q.shape[2]
+            if rotary_pos_emb is not None:
+                freqs = jax.lax.dynamic_slice_in_dim(
+                    rotary_pos_emb, cache_index, qn, axis=0)
+                q = apply_rotary_pos_emb(q, freqs)
+                k = apply_rotary_pos_emb(k, freqs)
+            k_cache, v_cache = cache
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k.astype(k_cache.dtype), cache_index, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v.astype(v_cache.dtype), cache_index, axis=2)
+            scale = self.dim_heads ** -0.5
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache) * scale
+            neg = jnp.finfo(logits.dtype).min
+            qpos = cache_index + jnp.arange(qn)[:, None]
+            kpos = jnp.arange(k_cache.shape[2])[None, :]
+            logits = jnp.where(kpos <= qpos, logits, neg)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_cache)
+            out = out.transpose(0, 2, 1, 3).reshape(
+                x.shape[0], x.shape[1], -1)
+            out = nn.Dense(self.dim, use_bias=False, kernel_init=out_init,
+                           name="to_out", dtype=self.dtype)(out)
+            return out, (k_cache, v_cache)
 
         if rotary_pos_emb is not None and self.dim_context is None:
             q = apply_rotary_pos_emb(q, rotary_pos_emb)
@@ -227,8 +265,19 @@ class TransformerBlock(nn.Module):
                  global_cond: Optional[Array] = None,
                  mask: Optional[Array] = None,
                  context_mask: Optional[Array] = None,
-                 rotary_pos_emb: Optional[Array] = None) -> Array:
+                 rotary_pos_emb: Optional[Array] = None,
+                 cache: Optional[Tuple[Array, Array]] = None,
+                 cache_index: Optional[Array] = None):
         zero_init = self.zero_init_branch_outputs and not self.layer_scale
+        new_cache = None
+
+        def run_self_attn(attn_mod, h):
+            nonlocal new_cache
+            if cache is None:
+                return attn_mod(h, mask=mask, rotary_pos_emb=rotary_pos_emb)
+            out, new_cache = attn_mod(h, rotary_pos_emb=rotary_pos_emb,
+                                      cache=cache, cache_index=cache_index)
+            return out
 
         def norm(name):
             if self.remove_norms:
@@ -259,7 +308,7 @@ class TransformerBlock(nn.Module):
             res = x
             h = norm("pre_norm")(x)
             h = h * (1 + scale_self) + shift_self
-            h = self_attn(h, mask=mask, rotary_pos_emb=rotary_pos_emb)
+            h = run_self_attn(self_attn, h)
             h = h * jax.nn.sigmoid(1 - gate_self)
             x = res + scale("self_attn_scale")(h)
             if context is not None and self.cross_attend:
@@ -280,9 +329,8 @@ class TransformerBlock(nn.Module):
             h = h * jax.nn.sigmoid(1 - gate_ff)
             x = res + scale("ff_scale")(h)
         else:
-            x = x + scale("self_attn_scale")(self_attn(
-                norm("pre_norm")(x), mask=mask,
-                rotary_pos_emb=rotary_pos_emb))
+            x = x + scale("self_attn_scale")(run_self_attn(
+                self_attn, norm("pre_norm")(x)))
             if context is not None and self.cross_attend:
                 x = x + scale("cross_attn_scale")(Attention(
                     self.dim, dim_heads=self.dim_heads,
@@ -295,6 +343,8 @@ class TransformerBlock(nn.Module):
                 x = x + scale("conformer_scale")(
                     ConformerModule(name="conformer", dtype=self.dtype)(x))
             x = x + scale("ff_scale")(ff(norm("ff_norm")(x)))
+        if cache is not None:
+            return x, new_cache
         return x
 
 
@@ -319,6 +369,14 @@ class ContinuousTransformer(nn.Module):
     ff_mult: float = 4.0
     dtype: Any = None
 
+    def init_cache(self, batch: int, max_len: int,
+                   dtype=jnp.float32) -> Tuple:
+        """Per-layer (k, v) KV caches of static length ``max_len`` for
+        incremental decoding (carry them through a lax.scan)."""
+        h = self.dim // self.dim_heads
+        z = lambda: jnp.zeros((batch, h, max_len, self.dim_heads), dtype)
+        return tuple((z(), z()) for _ in range(self.depth))
+
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None,
                  prepend_embeds: Optional[Array] = None,
@@ -326,7 +384,9 @@ class ContinuousTransformer(nn.Module):
                  global_cond: Optional[Array] = None,
                  context: Optional[Array] = None,
                  context_mask: Optional[Array] = None,
-                 return_info: bool = False):
+                 return_info: bool = False,
+                 cache: Optional[Tuple] = None,
+                 cache_index: Optional[Array] = None):
         batch, seq = x.shape[:2]
         if self.dim_in is not None:
             x = nn.Dense(self.dim, use_bias=False, name="project_in",
@@ -345,7 +405,10 @@ class ContinuousTransformer(nn.Module):
         rope = None
         if self.rotary_pos_emb:
             rot_dim = min(max(self.dim_heads // 2, 32), self.dim_heads)
-            rope = rotary_freqs(x.shape[1], rot_dim)
+            # decode: the table must span absolute cache positions
+            rope_len = (cache[0][0].shape[2] if cache is not None
+                        else x.shape[1])
+            rope = rotary_freqs(rope_len, rot_dim)
 
         if global_cond is not None and self.global_cond_dim:
             h = nn.Dense(self.dim, name="global_embed_in",
@@ -354,11 +417,12 @@ class ContinuousTransformer(nn.Module):
                                    dtype=self.dtype)(jax.nn.silu(h))
 
         info = {"hidden_states": []}
+        new_caches = []
         for i in range(self.depth):
             should_cross = self.cross_attend and (
                 self.final_cross_attn_ix == -1
                 or i <= self.final_cross_attn_ix)
-            x = TransformerBlock(
+            block = TransformerBlock(
                 self.dim, dim_heads=self.dim_heads,
                 cross_attend=should_cross,
                 dim_context=self.cond_token_dim,
@@ -369,14 +433,25 @@ class ContinuousTransformer(nn.Module):
                 conformer=self.conformer, qk_norm=self.qk_norm,
                 sliding_window=tuple(self.sliding_window),
                 ff_mult=self.ff_mult, name=f"layer_{i}", dtype=self.dtype,
-            )(x, context=context, global_cond=global_cond, mask=mask,
-              context_mask=context_mask, rotary_pos_emb=rope)
+            )
+            if cache is not None:
+                x, c = block(x, context=context, global_cond=global_cond,
+                             context_mask=context_mask,
+                             rotary_pos_emb=rope, cache=cache[i],
+                             cache_index=cache_index)
+                new_caches.append(c)
+            else:
+                x = block(x, context=context, global_cond=global_cond,
+                          mask=mask, context_mask=context_mask,
+                          rotary_pos_emb=rope)
             if return_info:
                 info["hidden_states"].append(x)
 
         if self.dim_out is not None:
             x = nn.Dense(self.dim_out, use_bias=False, name="project_out",
                          dtype=self.dtype)(x)
+        if cache is not None:
+            return x, tuple(new_caches)
         if return_info:
             return x, info
         return x

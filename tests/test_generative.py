@@ -22,6 +22,35 @@ def test_delay_pattern_roundtrip():
     assert int(d[0, 3, 0]) == 99 and int(d[0, 0, 0]) == int(tokens[0, 0, 0])
 
 
+def test_extra_codebook_patterns_roundtrip():
+    """Custom-delay / coarse-first / MusicLM patterns invert exactly
+    (reference: codebook_patterns.py:302-544)."""
+    from ditsep_tpu.models.lm import (CoarseFirstPattern,
+                                      CustomDelayPattern, MusicLMPattern)
+    tokens = jax.random.randint(KEY, (2, 4, 6), 0, 99)
+
+    pat = CustomDelayPattern(n_q=4, special_token=99, delays=(0, 2, 3, 5))
+    d = pat.apply(tokens)
+    assert d.shape == (2, 4, 11)
+    assert jnp.array_equal(pat.revert(d), tokens)
+    assert int(d[0, 3, 0]) == 99  # delayed start is padding
+
+    cf = CoarseFirstPattern(n_q=4, special_token=99, delays=(0, 1, 2))
+    g = cf.apply(tokens)
+    assert g.shape == (2, 4, cf.seq_len(6))
+    assert jnp.array_equal(cf.revert(g), tokens)
+    # coarse codebook occupies the first T steps, fine ones only after
+    assert jnp.array_equal(g[:, 0, :6], tokens[:, 0])
+    assert bool((g[:, 1:, :6] == 99).all())
+
+    ml = MusicLMPattern(n_q=4, special_token=99, group_by=2)
+    gm = ml.apply(tokens)
+    assert gm.shape == (2, 4, 24)
+    assert jnp.array_equal(ml.revert(gm), tokens)
+    # each sequence step carries exactly one real token
+    assert int(jnp.sum(gm != 99)) == 2 * 4 * 6
+
+
 def test_lm_loss_init_near_uniform_and_generate():
     from ditsep_tpu.models.lm import AudioLM, lm_generate, lm_loss
     lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=1,
@@ -33,6 +62,78 @@ def test_lm_loss_init_near_uniform_and_generate():
     gen = lm_generate(lm, params, KEY, batch=1, length=4)
     assert gen.shape == (1, 2, 4)
     assert int(gen.min()) >= 0 and int(gen.max()) < 16
+
+
+def test_lm_kv_cache_matches_full_pass():
+    """Incremental decode through the KV cache must produce the same
+    logits as the full causal pass (same params, same inputs)."""
+    from ditsep_tpu.models.lm import AudioLM
+    lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=2,
+                 num_heads=2)
+    tokens = jax.random.randint(KEY, (2, 2, 6), 0, 16)
+    params = lm.init(KEY, tokens)
+    full = lm.apply(params, tokens)  # (B, n_q, 6, C)
+
+    cache = lm.init_cache(2, 6)
+    step_logits = []
+    for i in range(6):
+        lg, cache = lm.apply(params, tokens[..., i:i + 1], cache=cache,
+                             cache_index=jnp.asarray(i, jnp.int32))
+        step_logits.append(lg[:, :, 0])
+    inc = jnp.stack(step_logits, axis=2)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lm_kv_cache_prefill_matches_full_pass():
+    """Multi-token prefill (prepend conditioning + first tokens) must
+    agree with the full pass too."""
+    from ditsep_tpu.models.lm import AudioLM
+    lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=1,
+                 num_heads=2, prepend_cond_dim=8)
+    tokens = jax.random.randint(KEY, (1, 2, 5), 0, 16)
+    prep = jax.random.normal(KEY, (1, 3, 8))
+    params = lm.init(KEY, tokens, prepend_cond=prep)
+    full = lm.apply(params, tokens, prepend_cond=prep)
+
+    cache = lm.init_cache(1, 3 + 5)
+    lg, cache = lm.apply(params, tokens, prepend_cond=prep, cache=cache,
+                         cache_index=jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lm_generate_sampling_modes_and_cfg():
+    from ditsep_tpu.models.lm import AudioLM, lm_generate
+    lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=1,
+                 num_heads=2, cross_attn_cond_dim=8)
+    tokens = jax.random.randint(KEY, (1, 2, 4), 0, 16)
+    ctx = jax.random.normal(KEY, (1, 5, 8))
+    params = lm.init(KEY, tokens, cross_attn_cond=ctx)
+
+    # greedy is deterministic
+    g1 = lm_generate(lm, params, KEY, 1, 4, temperature=0.0,
+                     cross_attn_cond=ctx)
+    g2 = lm_generate(lm, params, jax.random.PRNGKey(9), 1, 4,
+                     temperature=0.0, cross_attn_cond=ctx)
+    assert jnp.array_equal(g1, g2)
+    # top-k / top-p / CFG paths produce valid tokens
+    for kw in ({"top_k": 4}, {"top_p": 0.8}, {"cfg_scale": 2.0}):
+        g = lm_generate(lm, params, KEY, 1, 4, cross_attn_cond=ctx, **kw)
+        assert g.shape == (1, 2, 4)
+        assert int(g.min()) >= 0 and int(g.max()) < 16
+
+
+def test_lm_top_p_and_top_k_masks():
+    from ditsep_tpu.models.lm import _mask_top_k, _mask_top_p
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    mk = _mask_top_k(logits, 2)
+    assert np.isfinite(np.asarray(mk[0, :2])).all()
+    assert np.isneginf(np.asarray(mk[0, 2:])).all()
+    # p=0.75: keep tokens until exclusive prefix mass reaches 0.75
+    mp = _mask_top_p(logits, 0.75)
+    assert np.isfinite(np.asarray(mp[0, :2])).all()
+    assert np.isneginf(np.asarray(mp[0, 3])).all()
 
 
 # ------------------------------------------------------------- sample_k ---
@@ -91,6 +192,114 @@ def test_facodec_roundtrip_and_vq():
 
 
 # -------------------------------------------------------- pretransforms ---
+def test_dac_rvq_bottlenecks():
+    """DAC residual VQ: cosine-lookup quantization, separated commitment/
+    codebook losses, token round-trip, quantizer dropout, and both
+    bottleneck wrappers (reference: bottleneck.py:221-325)."""
+    from ditsep_tpu.models.bottleneck import (
+        DACResidualVQ, DACRVQBottleneck, DACRVQVAEBottleneck)
+    q = DACResidualVQ(input_dim=16, n_codebooks=3, codebook_size=32,
+                      codebook_dim=4)
+    x = jax.random.normal(KEY, (2, 10, 16))
+    v = q.init(KEY, x)
+    z, codes, latents, commit, cb = q.apply(v, x)
+    assert z.shape == x.shape
+    assert codes.shape == (2, 10, 3)
+    assert latents.shape == (2, 10, 12)  # Q * codebook_dim
+    assert float(commit) > 0 and float(cb) > 0
+    # from_codes reproduces the quantized output exactly
+    z2 = q.from_codes(v, codes)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), rtol=1e-5,
+                               atol=1e-5)
+    # quantizer dropout uses fewer stages
+    z1, codes1, *_ = q.apply(v, x, n_quantizers=1)
+    assert codes1.shape == (2, 10, 1)
+    assert float(jnp.abs(z1 - z).max()) > 1e-6
+
+    bn = DACRVQBottleneck(q, noise_augment_dim=2)
+    xc = jnp.swapaxes(x, 1, -1)  # (B, C, T)
+    zc, info = bn.encode(v, xc, return_info=True)
+    assert zc.shape == xc.shape
+    assert np.isfinite(float(info["vq/commitment_loss"]))
+    dec = bn.decode(v, zc, key=jax.random.PRNGKey(3))
+    assert dec.shape == (2, 18, 10)  # +noise_augment_dim channels
+    tok = bn.decode_tokens(v, info["codes"], key=jax.random.PRNGKey(3))
+    assert tok.shape == dec.shape
+
+    # VAE variant: input carries (mean, scale) channel pairs
+    qv = DACResidualVQ(input_dim=8, n_codebooks=2, codebook_size=16,
+                       codebook_dim=4)
+    xv = jax.random.normal(KEY, (2, 16, 10))  # 2*8 channels
+    vv = qv.init(KEY, jnp.swapaxes(xv[:, :8], 1, -1))
+    bnv = DACRVQVAEBottleneck(qv)
+    zv, infov = bnv.encode(vv, jax.random.PRNGKey(1), xv, return_info=True)
+    assert zv.shape == (2, 8, 10)
+    assert np.isfinite(float(infov["kl"]))
+
+    # factory dispatch
+    from ditsep_tpu.models.factory import create_bottleneck_from_config
+    assert isinstance(create_bottleneck_from_config(
+        {"type": "dac_rvq", "config": {"input_dim": 16,
+                                       "n_codebooks": 3}}),
+        DACRVQBottleneck)
+    assert isinstance(create_bottleneck_from_config(
+        {"type": "dac_rvq_vae", "config": {"input_dim": 8}}),
+        DACRVQVAEBottleneck)
+
+
+def test_semantic_feature_loss_core():
+    """Std-normalised per-layer L1 (reference: semantic.py:69-80):
+    identical features -> 0; selection honours feature_ids; scale
+    normalisation keeps the loss size-invariant."""
+    from ditsep_tpu.training.semantic import HubertLoss, semantic_feature_l1
+    rng = np.random.default_rng(0)
+    f1 = [rng.standard_normal((2, 10, 8)) for _ in range(3)]
+    f2 = [f + 0.1 * rng.standard_normal(f.shape) for f in f1]
+    assert float(semantic_feature_l1(f1, f1)) == 0.0
+    v_all = float(semantic_feature_l1(f1, f2))
+    assert 0 < v_all < 1.0
+    v_one = float(semantic_feature_l1(f1, f2, feature_ids=[1]))
+    assert v_one > 0
+    # scaling both by 10 leaves the normalised loss invariant
+    v_scaled = float(semantic_feature_l1(
+        [10 * f for f in f1], [10 * f for f in f2]))
+    assert abs(v_scaled - v_all) < 1e-5
+    # API surface: construction works without weights; bad name rejected
+    hl = HubertLoss(feature_ids=[-1], weight=2.0)
+    assert hl.model_name == "HUBERT_LARGE"
+    with pytest.raises(ValueError):
+        HubertLoss(model_name="NOT_A_MODEL")
+
+
+def test_kaiser_alias_free_filters():
+    """Frequency response of the Kaiser-sinc filters: passband ~unity,
+    stopband strongly attenuated; up/down round trip preserves a
+    band-limited signal (reference: alias_free_torch/filter.py:27-96,
+    resample.py:9-57)."""
+    from ditsep_tpu.models.facodec import (
+        downsample1d, kaiser_sinc_filter1d, lowpass_filter1d, upsample1d)
+    h = kaiser_sinc_filter1d(cutoff=0.25, half_width=0.3, kernel_size=12)
+    assert abs(float(h.sum()) - 1.0) < 1e-6
+    H = np.abs(np.fft.rfft(h, 512))
+    freqs = np.linspace(0, 0.5, len(H))
+    assert H[freqs < 0.05].min() > 0.9          # passband
+    assert H[freqs > 0.45].max() < 0.12         # stopband
+
+    # band-limited sine round-trips through up/down sampling
+    t = np.arange(512)
+    x = np.sin(2 * np.pi * 0.05 * t).astype(np.float32)[None, :, None]
+    up = upsample1d(jnp.asarray(x), 2)
+    assert up.shape == (1, 1024, 1)
+    down = downsample1d(up, 2)
+    err = np.abs(np.asarray(down[0, 32:480, 0]) - x[0, 32:480, 0]).max()
+    assert err < 0.05
+    # lowpass kills an above-cutoff sine
+    hi = np.sin(2 * np.pi * 0.45 * t).astype(np.float32)[None, :, None]
+    out = lowpass_filter1d(jnp.asarray(hi), cutoff=0.2, half_width=0.1,
+                           kernel_size=24)
+    assert float(jnp.abs(out[0, 32:480, 0]).max()) < 0.1
+
+
 def test_wavelet_perfect_reconstruction():
     from ditsep_tpu.models.pretransforms import WaveletPretransform
     pt = WaveletPretransform(channels=2, levels=3)
@@ -130,6 +339,69 @@ def test_oobleck_and_period_discriminators():
 
 
 # ------------------------------------------------------------ losses ------
+def test_dac_discriminator_and_gan_loss():
+    """DAC multi-discriminator (MPD+MSD+MRD): fmap contract, LSGAN loss
+    values, and gradient flow to BOTH discriminator and generator sides
+    (reference: discriminators.py:553-661)."""
+    from ditsep_tpu.models.discriminators import (
+        DACDiscriminator, dac_gan_loss)
+    disc = DACDiscriminator(periods=(2, 3), rates=(2,),
+                            fft_sizes=(256, 128))
+    reals = jax.random.normal(KEY, (2, 1, 2048))
+    fakes = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 2048))
+    params = disc.init(KEY, reals)
+    fmaps = disc.apply(params, reals)
+    assert len(fmaps) == 5  # 2 periods + 1 rate + 2 ffts
+    dis, gen, feat = dac_gan_loss(disc, params, reals, fakes)
+    assert all(np.isfinite(float(v)) for v in (dis, gen, feat))
+    # hinge variant
+    dis_h, gen_h, _ = dac_gan_loss(disc, params, reals, fakes,
+                                   use_hinge=True)
+    assert np.isfinite(float(dis_h)) and np.isfinite(float(gen_h))
+    # gradients reach the discriminator params
+    g = jax.grad(lambda p: dac_gan_loss(disc, p, reals, fakes)[0])(params)
+    gnorm = sum(float(jnp.sum(x ** 2)) for x in jax.tree.leaves(g))
+    assert gnorm > 0
+    # generator gradient flows through fakes
+    gf = jax.grad(lambda f: dac_gan_loss(disc, params, reals, f)[1])(fakes)
+    assert float(jnp.sum(gf ** 2)) > 0
+
+
+def test_bigvgan_discriminator_and_factory():
+    from ditsep_tpu.models.discriminators import (
+        BigVGANDiscriminator, DACDiscriminator, MultiScaleSTFTDiscriminator,
+        OobleckDiscriminator, create_discriminator_from_config,
+        dac_gan_loss, discriminator_loss)
+    disc = BigVGANDiscriminator(sample_rate=8000, periods=(2, 3))
+    x = jax.random.normal(KEY, (1, 1, 4096))
+    params = disc.init(KEY, x)
+    fmaps = disc.apply(params, x)
+    assert len(fmaps) == 3  # 2 MPD + 1 CQT
+    dis, gen, feat = dac_gan_loss(disc, params, x, x * 0.5)
+    assert np.isfinite(float(dis))
+
+    # reference-style config dispatch (training/autoencoders.py:150-157)
+    assert isinstance(create_discriminator_from_config(
+        {"type": "encodec", "config": {"filters": 8,
+                                       "n_ffts": [256, 128],
+                                       "hop_lengths": [64, 32]}}),
+        MultiScaleSTFTDiscriminator)
+    assert isinstance(create_discriminator_from_config(
+        {"type": "oobleck", "config": {}}), OobleckDiscriminator)
+    d = create_discriminator_from_config(
+        {"type": "dac", "config": {"periods": [2, 3],
+                                   "fft_sizes": [256, 128]}})
+    assert isinstance(d, DACDiscriminator) and d.periods == (2, 3)
+    b = create_discriminator_from_config(
+        {"type": "big_vgan", "config": {"periods": [2]}},
+        sample_rate=16000)
+    assert isinstance(b, BigVGANDiscriminator) and b.sample_rate == 16000
+    # generic loss dispatch keeps the (dis, adv, fm) contract
+    pd = d.init(KEY, x)
+    out = discriminator_loss(d, pd, x, x * 0.7)
+    assert len(out) == 3
+
+
 def test_mel_and_sumdiff_losses():
     from ditsep_tpu.training.auraloss import (
         mel_stft_loss, sum_and_difference_stft_loss)
