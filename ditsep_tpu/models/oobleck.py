@@ -70,14 +70,17 @@ class WNConv1d(nn.Module):
     dilation: int = 1
     padding: Optional[int] = None  # None -> torch 'same'-style explicit pad
     use_bias: bool = True
+    groups: int = 1  # feature_group_count (torch Conv1d groups)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0 and self.out_ch % self.groups == 0
         k = self.kernel_size
         v = self.param(
-            "v", nn.initializers.he_uniform(), (k, in_ch, self.out_ch))
+            "v", nn.initializers.he_uniform(),
+            (k, in_ch // self.groups, self.out_ch))
         # init g to ||v|| so the initial effective weight equals v
         g = self.param(
             "g", lambda key, shape: jnp.sqrt(
@@ -93,6 +96,7 @@ class WNConv1d(nn.Module):
         y = jax.lax.conv_general_dilated(
             x, w.astype(dt), window_strides=(self.stride,),
             padding=[(pad, pad)], rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ditsep_tpu.models.discriminators import (
-    MultiScaleSTFTDiscriminator, encodec_discriminator_loss,
+    MultiScaleSTFTDiscriminator, discriminator_loss,
+    encodec_discriminator_loss,
 )
 from ditsep_tpu.models.oobleck import OobleckVAE
 from ditsep_tpu.training import auraloss
@@ -55,7 +56,7 @@ class AutoencoderState(flax.struct.PyTreeNode):
 @dataclasses.dataclass(frozen=True)
 class AutoencoderTrainer:
     vae: OobleckVAE
-    disc: Optional[MultiScaleSTFTDiscriminator] = None
+    disc: Optional[Any] = None  # any family from discriminators.py
     loss_cfg: AutoencoderLossConfig = AutoencoderLossConfig()
     lr: float = 1.5e-4
     disc_lr: float = 3e-4
@@ -119,7 +120,9 @@ class AutoencoderTrainer:
             losses["l1"] = cfg.l1 * auraloss.l1_loss(decoded, reals_t)
         losses["kl"] = cfg.kl * kl
         if self.disc is not None and disc_params is not None and warmed_up:
-            _, adv, fm = encodec_discriminator_loss(
+            # family-generic dispatch: encodec/oobleck hinge losses or
+            # DAC/BigVGAN least-squares losses
+            _, adv, fm = discriminator_loss(
                 self.disc, disc_params, reals_t, decoded)
             losses["adversarial"] = cfg.adversarial * adv
             losses["feature_matching"] = cfg.feature_matching * fm
@@ -152,8 +155,7 @@ class AutoencoderTrainer:
             reals)
 
         def loss_fn(dp):
-            dis, _, _ = encodec_discriminator_loss(
-                self.disc, dp, reals_t, decoded)
+            dis, _, _ = discriminator_loss(self.disc, dp, reals_t, decoded)
             return dis
 
         loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)
