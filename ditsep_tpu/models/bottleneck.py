@@ -225,3 +225,144 @@ class FSQBottleneck:
         basis = jnp.cumprod(jnp.concatenate(
             [jnp.ones((1,), jnp.int32), lv[:-1]]))
         return jnp.sum(digits * basis, axis=-1)
+
+
+class DACResidualVQ(nn.Module):
+    """DAC-style residual VQ (the dac.nn.quantize.ResidualVectorQuantize
+    the reference wraps, reference: bottleneck.py:221-325): each stage
+    projects the residual to a small codebook dim, looks up the nearest
+    L2-NORMALISED code (cosine distance), and projects back; commitment
+    and codebook losses are returned separately. Gradient codebook
+    learning (no EMA buffers -- jit-friendly)."""
+
+    input_dim: int
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array, n_quantizers: Optional[int] = None):
+        """x: (B, N, D_in) channel-last. Returns
+        (z, codes (B,N,Q), latents (B,N,Q*cd), commitment, codebook)."""
+        n_q = self.n_codebooks if n_quantizers is None \
+            else min(n_quantizers, self.n_codebooks)
+        residual = x
+        z = jnp.zeros_like(x)
+        codes = []
+        latents = []
+        commit = 0.0
+        codebook_loss = 0.0
+        for q in range(n_q):
+            zq = nn.Dense(self.codebook_dim, name=f"in_proj_{q}")(residual)
+            cb = self.param(f"codebook_{q}", nn.initializers.normal(1.0),
+                            (self.codebook_size, self.codebook_dim))
+            zn = zq / (jnp.linalg.norm(zq, axis=-1, keepdims=True) + 1e-8)
+            cn = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True) + 1e-8)
+            idx = jnp.argmax(zn @ cn.T, axis=-1)  # max cosine similarity
+            sel = cb[idx]
+            commit = commit + jnp.mean(
+                (zq - jax.lax.stop_gradient(sel)) ** 2)
+            codebook_loss = codebook_loss + jnp.mean(
+                (jax.lax.stop_gradient(zq) - sel) ** 2)
+            sel_st = zq + jax.lax.stop_gradient(sel - zq)
+            out = nn.Dense(self.input_dim, name=f"out_proj_{q}")(sel_st)
+            z = z + out
+            residual = residual - jax.lax.stop_gradient(out)
+            codes.append(idx)
+            latents.append(zq)
+        return (z, jnp.stack(codes, axis=-1),
+                jnp.concatenate(latents, axis=-1), commit, codebook_loss)
+
+    def from_codes(self, variables, codes: Array) -> Array:
+        """codes (B, N, Q) -> reconstructed z (B, N, D_in)."""
+        p = variables["params"]
+        z = 0.0
+        for q in range(codes.shape[-1]):
+            sel = p[f"codebook_{q}"][codes[..., q]]
+            w = p[f"out_proj_{q}"]["kernel"]
+            b = p[f"out_proj_{q}"]["bias"]
+            z = z + sel @ w + b
+        return z
+
+
+@dataclasses.dataclass(frozen=True)
+class DACRVQBottleneck:
+    """(reference: bottleneck.py:221-276). Channel-first (B, C, T) like
+    every bottleneck here; per-quantizer losses are pre-divided by the
+    codebook count as the reference does."""
+
+    quantizer: DACResidualVQ
+    quantize_on_decode: bool = False
+    noise_augment_dim: int = 0
+
+    def encode(self, variables, x, return_info=False,
+               n_quantizers: Optional[int] = None):
+        info = {"pre_quantizer": x}
+        if self.quantize_on_decode:
+            return (x, info) if return_info else x
+        y = jnp.swapaxes(x, 1, -1)
+        z, codes, latents, commit, cb = self.quantizer.apply(
+            variables, y, n_quantizers=n_quantizers)
+        z = jnp.swapaxes(z, 1, -1)
+        info.update({
+            "codes": codes,
+            "latents": jnp.swapaxes(latents, 1, -1),
+            "vq/commitment_loss": commit / self.quantizer.n_codebooks,
+            "vq/codebook_loss": cb / self.quantizer.n_codebooks,
+        })
+        return (z, info) if return_info else z
+
+    def decode(self, variables, x, key=None):
+        if self.quantize_on_decode:
+            y = jnp.swapaxes(x, 1, -1)
+            x = jnp.swapaxes(self.quantizer.apply(variables, y)[0], 1, -1)
+        if self.noise_augment_dim > 0:
+            assert key is not None, "noise_augment_dim needs a PRNG key"
+            noise = jax.random.normal(
+                key, (x.shape[0], self.noise_augment_dim, x.shape[-1]),
+                x.dtype)
+            x = jnp.concatenate([x, noise], axis=1)
+        return x
+
+    def decode_tokens(self, variables, codes, key=None):
+        lat = self.quantizer.from_codes(variables, codes)
+        return self.decode(variables, jnp.swapaxes(lat, 1, -1), key=key)
+
+
+@dataclasses.dataclass(frozen=True)
+class DACRVQVAEBottleneck:
+    """(reference: bottleneck.py:277-325): VAE sample of (mean, scale)
+    channels THEN DAC residual VQ; kl joins the vq losses in info."""
+
+    quantizer: DACResidualVQ
+    quantize_on_decode: bool = False
+
+    def encode(self, variables, key, x, return_info=False,
+               n_quantizers: Optional[int] = None):
+        mean, scale = jnp.split(x, 2, axis=1)
+        lat, kl = vae_sample(key, jnp.swapaxes(mean, 1, -1),
+                             jnp.swapaxes(scale, 1, -1))
+        x = jnp.swapaxes(lat, 1, -1)
+        info = {"pre_quantizer": x, "kl": kl}
+        if self.quantize_on_decode:
+            return (x, info) if return_info else x
+        z, codes, latents, commit, cb = self.quantizer.apply(
+            variables, lat, n_quantizers=n_quantizers)
+        z = jnp.swapaxes(z, 1, -1)
+        info.update({
+            "codes": codes,
+            "latents": jnp.swapaxes(latents, 1, -1),
+            "vq/commitment_loss": commit / self.quantizer.n_codebooks,
+            "vq/codebook_loss": cb / self.quantizer.n_codebooks,
+        })
+        return (z, info) if return_info else z
+
+    def decode(self, variables, x):
+        if self.quantize_on_decode:
+            y = jnp.swapaxes(x, 1, -1)
+            x = jnp.swapaxes(self.quantizer.apply(variables, y)[0], 1, -1)
+        return x
+
+    def decode_tokens(self, variables, codes):
+        lat = self.quantizer.from_codes(variables, codes)
+        return self.decode(variables, jnp.swapaxes(lat, 1, -1))
