@@ -107,6 +107,97 @@ class PretransformConditioner(nn.Module):
         return emb, jnp.ones(emb.shape[:2], bool)
 
 
+# ARPABET phoneme inventory (CMUdict): 39 phonemes, vowels with 0/1/2
+# stress markers -- the same symbol set g2p_en exposes
+# (reference: conditioners.py:369-430 PhonemeConditioner).
+_ARPABET_BASE = [
+    "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH", "EH", "ER",
+    "EY", "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG",
+    "OW", "OY", "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W",
+    "Y", "Z", "ZH"]
+_VOWELS = {"AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY", "IH",
+           "IY", "OW", "OY", "UH", "UW"}
+ARPABET_PHONEMES = ["_"] + [
+    p + s for p in _ARPABET_BASE
+    for s in (("0", "1", "2") if p in _VOWELS else ("",))]
+_P2IDX = {p: i for i, p in enumerate(ARPABET_PHONEMES)}
+
+# minimal rule-based English grapheme->phoneme fallback (used when the
+# g2p_en package is absent; the neural g2p is a lookup+LSTM over the same
+# symbol set, so the conditioner contract is identical)
+_G2P_RULES = [
+    ("tion", ["SH", "AH0", "N"]), ("ough", ["AO1"]), ("ch", ["CH"]),
+    ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]), ("wh", ["W"]),
+    ("ng", ["NG"]), ("qu", ["K", "W"]), ("ck", ["K"]), ("ee", ["IY1"]),
+    ("oo", ["UW1"]), ("ou", ["AW1"]), ("ai", ["EY1"]), ("ay", ["EY1"]),
+    ("oi", ["OY1"]), ("ea", ["IY1"]),
+    ("a", ["AE1"]), ("b", ["B"]), ("c", ["K"]), ("d", ["D"]),
+    ("e", ["EH1"]), ("f", ["F"]), ("g", ["G"]), ("h", ["HH"]),
+    ("i", ["IH1"]), ("j", ["JH"]), ("k", ["K"]), ("l", ["L"]),
+    ("m", ["M"]), ("n", ["N"]), ("o", ["AA1"]), ("p", ["P"]),
+    ("r", ["R"]), ("s", ["S"]), ("t", ["T"]), ("u", ["AH1"]),
+    ("v", ["V"]), ("w", ["W"]), ("x", ["K", "S"]), ("y", ["Y"]),
+    ("z", ["Z"])]
+
+
+def text_to_phonemes(text: str) -> List[str]:
+    """English text -> ARPABET phoneme list. Uses g2p_en when installed
+    (the reference's encoder), else the rule-based fallback; spaces and
+    punctuation become '_' like the reference's ignore list."""
+    try:
+        from g2p_en import G2p
+        out = []
+        import string as _string
+        ignore = set(" " + _string.punctuation)
+        for p in G2p()(text):
+            out.append("_" if p in ignore else p)
+        return out
+    except ImportError:
+        pass
+    out: List[str] = []
+    for word in text.lower().split():
+        i = 0
+        w = "".join(ch for ch in word if ch.isalpha())
+        while i < len(w):
+            for pat, phones in _G2P_RULES:
+                if w.startswith(pat, i):
+                    out.extend(phones)
+                    i += len(pat)
+                    break
+            else:
+                i += 1
+        out.append("_")
+    return out[:-1] if out else []
+
+
+def phonemes_to_ids(phonemes: List[str], max_length: int = 1024
+                    ) -> List[int]:
+    """Phoneme symbols -> LUT ids: 0 pad, 1 unknown, 2+ table
+    (reference: conditioners.py:394-410)."""
+    return [(_P2IDX[p] + 2 if p in _P2IDX else 1)
+            for p in phonemes][:max_length]
+
+
+class PhonemeConditioner(nn.Module):
+    """Phoneme-LUT text conditioner (reference: conditioners.py:369-430).
+    Host side converts text via ``text_to_phonemes`` + ``phonemes_to_ids``
+    and pads to a static length; this module embeds the id grid."""
+
+    output_dim: int
+    max_length: int = 1024
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, phoneme_ids: Array) -> Tuple[Array, Array]:
+        """phoneme_ids: (B, S) int, 0 = padding."""
+        ids = jnp.asarray(phoneme_ids, jnp.int32)
+        emb = nn.Embed(len(ARPABET_PHONEMES) + 2, self.output_dim,
+                       name="phoneme_embedder")(ids)
+        if self.project_out:
+            emb = nn.Dense(self.output_dim, name="proj_out")(emb)
+        return emb, ids != 0
+
+
 def clap_encode_host(texts=None, audio=None,
                      model_name: str = "laion/larger_clap_general"):
     """Host-side CLAP text/audio embeddings via the optional transformers
@@ -147,6 +238,69 @@ def t5_encode_host(texts: List[str], model_name: str = "t5-base",
                   attention_mask=batch["attention_mask"])
     return (out.last_hidden_state.numpy(),
             batch["attention_mask"].numpy().astype(bool))
+
+
+class HostEmbeddingConditioner(nn.Module):
+    """Projection head over embeddings computed by a HOST encoder
+    (T5/CLAP via `t5_encode_host`/`clap_encode_host`): the learned
+    out-projection the reference attaches to its pretrained conditioners
+    (reference: conditioners.py T5Conditioner proj_out). Call with the
+    precomputed (B, S, D_enc) embeddings (S=1 for pooled CLAP)."""
+
+    output_dim: int
+    project_out: bool = True
+
+    @nn.compact
+    def __call__(self, embeddings: Array) -> Tuple[Array, Array]:
+        emb = jnp.asarray(embeddings, jnp.float32)
+        if emb.ndim == 2:
+            emb = emb[:, None, :]
+        if self.project_out or emb.shape[-1] != self.output_dim:
+            emb = nn.Dense(self.output_dim, name="proj_out")(emb)
+        # padding convention: all-zero embedding rows are padding
+        mask = jnp.any(embeddings != 0, axis=-1) if embeddings.ndim == 3 \
+            else jnp.ones(emb.shape[:2], bool)
+        return emb, mask
+
+
+def create_multi_conditioner_from_config(cond_config: Dict
+                                         ) -> "MultiConditioner":
+    """Build a MultiConditioner from the reference conditioning JSON
+    schema (reference: conditioners.py:652-726
+    create_multi_conditioner_from_conditioning_config): a `configs` list
+    of {id, type, config} with a shared `cond_dim` default width."""
+    cond_dim = cond_config.get("cond_dim", 768)
+    conditioners: Dict[str, nn.Module] = {}
+    for cfg in cond_config.get("configs", []):
+        cid, kind = cfg["id"], cfg["type"]
+        c = dict(cfg.get("config", {}))
+        out_dim = c.pop("output_dim", cond_dim)
+        if kind == "number":
+            conditioners[cid] = NumberConditioner(
+                out_dim, min_val=c.get("min_val", 0.0),
+                max_val=c.get("max_val", 1.0))
+        elif kind == "int":
+            conditioners[cid] = IntConditioner(
+                out_dim, min_val=c.get("min_val", 0),
+                max_val=c.get("max_val", 512))
+        elif kind == "list":
+            conditioners[cid] = ListConditioner(
+                out_dim, options=tuple(c.get("options", ())))
+        elif kind == "phoneme":
+            conditioners[cid] = PhonemeConditioner(
+                out_dim, max_length=c.get("max_length", 1024),
+                project_out=c.get("project_out", False))
+        elif kind in ("t5", "clap_text", "clap_audio"):
+            # encoder runs on host (t5_encode_host / clap_encode_host);
+            # the module is the learned projection over its output
+            conditioners[cid] = HostEmbeddingConditioner(
+                out_dim, project_out=c.get("project_out", True))
+        elif kind == "pretransform":
+            conditioners[cid] = PretransformConditioner(out_dim)
+        else:
+            raise ValueError(f"unknown conditioner type {kind!r}")
+    return MultiConditioner(conditioners,
+                            cond_config.get("default_keys", {}))
 
 
 class MultiConditioner:

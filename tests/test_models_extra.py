@@ -162,6 +162,54 @@ def test_timestep_samplers_in_range(ts):
     assert float(t.min()) >= 0.0 and float(t.max()) <= 1.0
 
 
+def test_phoneme_conditioner_and_factory():
+    """Phoneme LUT conditioner + the conditioning-config factory
+    (reference: conditioners.py:369-430, 652-726)."""
+    from ditsep_tpu.models.conditioners import (
+        ARPABET_PHONEMES, HostEmbeddingConditioner, PhonemeConditioner,
+        create_multi_conditioner_from_config, phonemes_to_ids,
+        text_to_phonemes)
+
+    phones = text_to_phonemes("hello world")
+    assert len(phones) > 2 and "_" in phones  # word separator
+    ids = phonemes_to_ids(phones)
+    assert all(i >= 1 for i in ids)
+    assert ids == phonemes_to_ids(phones)  # deterministic
+    # unknown symbols map to 1, table symbols to >= 2
+    assert phonemes_to_ids(["NOT_A_PHONEME"]) == [1]
+    assert phonemes_to_ids([ARPABET_PHONEMES[3]]) == [5]
+
+    pc = PhonemeConditioner(output_dim=16, project_out=True)
+    grid = jnp.asarray([[3, 4, 5, 0, 0], [6, 7, 0, 0, 0]], jnp.int32)
+    v = pc.init(KEY, grid)
+    emb, mask = pc.apply(v, grid)
+    assert emb.shape == (2, 5, 16)
+    assert mask.tolist() == [[True] * 3 + [False] * 2,
+                             [True] * 2 + [False] * 3]
+
+    he = HostEmbeddingConditioner(output_dim=8)
+    x = jax.random.normal(KEY, (2, 4, 32))
+    vh = he.init(KEY, x)
+    embh, maskh = he.apply(vh, x)
+    assert embh.shape == (2, 4, 8) and maskh.shape == (2, 4)
+
+    mc = create_multi_conditioner_from_config({
+        "cond_dim": 16,
+        "configs": [
+            {"id": "secs", "type": "number",
+             "config": {"min_val": 0, "max_val": 10}},
+            {"id": "text", "type": "phoneme", "config": {}},
+            {"id": "prompt", "type": "t5", "config": {}},
+        ]})
+    inputs = {"secs": jnp.array([1.0, 2.0]), "text": grid,
+              "prompt": jax.random.normal(KEY, (2, 3, 64))}
+    cv = mc.init(KEY, inputs)
+    out = mc(cv, inputs)
+    assert set(out) == {"secs", "text", "prompt"}
+    assert out["text"][0].shape == (2, 5, 16)
+    assert out["prompt"][0].shape == (2, 3, 16)
+
+
 def test_cond_diffusion_trainer_decreases_loss():
     cond_mod = NumberConditioner(output_dim=8, max_val=10)
     mc = MultiConditioner({"secs": cond_mod})
