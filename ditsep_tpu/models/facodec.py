@@ -12,7 +12,7 @@ speaker disentanglement.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,42 +41,100 @@ def _gr_bwd(alpha, g):
 gradient_reversal.defvjp(_gr_fwd, _gr_bwd)
 
 
+def kaiser_sinc_filter1d(cutoff: float, half_width: float,
+                         kernel_size: int):
+    """Windowed-sinc lowpass with the adaptive Kaiser design rule
+    (reference: src/models/facodec/alias_free_torch/filter.py:27-58):
+    beta follows the standard Kaiser attenuation estimate
+    A = 2.285*(N-1)*pi*(4*half_width) + 7.95, and the kernel is
+    normalised to unit sum. cutoff in cycles/sample (0..0.5)."""
+    import numpy as np
+    if not 0.0 <= cutoff <= 0.5:
+        raise ValueError("cutoff must be in [0, 0.5]")
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4.0 * half_width
+    a = 2.285 * (half_size - 1) * np.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, np.float32)
+    h = 2.0 * cutoff * window * np.sinc(2.0 * cutoff * time)
+    return (h / h.sum()).astype(np.float32)
+
+
+def _depthwise_fir(x: Array, h, stride: int = 1, lhs_dilation: int = 1,
+                   pad=(0, 0)) -> Array:
+    """Depthwise FIR over (B, T, C) with the given stride/up-dilation."""
+    c = x.shape[-1]
+    taps = len(h)
+    w = jnp.broadcast_to(jnp.asarray(h)[::-1][:, None, None], (taps, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[pad],
+        lhs_dilation=(lhs_dilation,), feature_group_count=c,
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+def lowpass_filter1d(x: Array, cutoff: float = 0.5, half_width: float = 0.6,
+                     stride: int = 1, kernel_size: int = 12) -> Array:
+    """LowPassFilter1d (reference: filter.py:61-96): depthwise
+    Kaiser-sinc FIR, same-length (edge-padded) output at stride 1."""
+    h = kaiser_sinc_filter1d(cutoff, half_width, kernel_size)
+    even = kernel_size % 2 == 0
+    pad_left = kernel_size // 2 - int(even)
+    pad_right = kernel_size // 2
+    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    return _depthwise_fir(x, h, stride=stride)
+
+
+def upsample1d(x: Array, ratio: int = 2,
+               kernel_size: Optional[int] = None) -> Array:
+    """Alias-free ratio-x upsampling: zero-stuff + Kaiser-sinc interp
+    (reference: resample.py:9-37). (B, T, C) -> (B, ratio*T, C)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    h = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k) * ratio
+    pad = k // ratio - 1
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    y = _depthwise_fir(x, h, lhs_dilation=ratio, pad=(k - 1, k - 1))
+    pad_left = pad * ratio + (k - ratio) // 2
+    pad_right = pad * ratio + (k - ratio + 1) // 2
+    return y[:, pad_left:y.shape[1] - pad_right]
+
+
+def downsample1d(x: Array, ratio: int = 2,
+                 kernel_size: Optional[int] = None) -> Array:
+    """Alias-free ratio-x downsampling (reference: resample.py:40-57)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    return lowpass_filter1d(x, 0.5 / ratio, 0.6 / ratio, stride=ratio,
+                            kernel_size=k)
+
+
 class AliasFreeActivation1d(nn.Module):
-    """Alias-free nonlinearity: FIR-upsample 2x -> activation ->
-    FIR-downsample 2x (reference: src/models/facodec/alias_free_torch/
+    """Alias-free nonlinearity: Kaiser-sinc upsample 2x -> activation ->
+    downsample 2x (reference: src/models/facodec/alias_free_torch/
     act.py:7, filter.py:27-96, resample.py:9-57). The up/down FIR pair
     band-limits the signal so the nonlinearity's harmonics don't alias."""
 
     channels: int
-    taps: int = 12
-
-    def _kernel(self):
-        import numpy as np
-        # windowed-sinc halfband lowpass (cutoff 0.25 of fs_up)
-        n = self.taps
-        k = np.arange(n) - (n - 1) / 2
-        h = 0.5 * np.sinc(0.5 * k) * np.kaiser(n, 6.0)
-        return (h / h.sum()).astype(np.float32)
+    ratio: int = 2
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         """(B, T, C) -> (B, T, C)."""
-        import numpy as np
-        h = jnp.asarray(self._kernel())
-        c = x.shape[-1]
-        w = jnp.broadcast_to(h[::-1][:, None, None], (self.taps, 1, c))
-        pad = self.taps // 2
-        # upsample 2x: input-dilated depthwise conv with 2*gain
-        up = jax.lax.conv_general_dilated(
-            x, w * 2.0, window_strides=(1,), padding=[(pad, pad - 1)],
-            lhs_dilation=(2,), feature_group_count=c,
-            dimension_numbers=("NWC", "WIO", "NWC"))
-        act = SnakeBeta(c, name="snake")(up)
-        down = jax.lax.conv_general_dilated(
-            act, w, window_strides=(2,), padding=[(pad, pad - 1)],
-            feature_group_count=c,
-            dimension_numbers=("NWC", "WIO", "NWC"))
-        return down
+        t = x.shape[1]
+        up = upsample1d(x, self.ratio)
+        act = SnakeBeta(self.channels, name="snake")(up)
+        down = downsample1d(act, self.ratio)
+        return down[:, :t]
 
 
 class FACodecResUnit(nn.Module):
@@ -87,10 +145,10 @@ class FACodecResUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = SnakeBeta(self.channels, name="act_0")(x)
+        h = AliasFreeActivation1d(self.channels, name="act_0")(x)
         h = WNConv1d(self.channels, 7, dilation=self.dilation,
                      padding=(self.dilation * 6) // 2, name="conv_0")(h)
-        h = SnakeBeta(self.channels, name="act_1")(h)
+        h = AliasFreeActivation1d(self.channels, name="act_1")(h)
         h = WNConv1d(self.channels, 1, padding=0, name="conv_1")(h)
         return x + h
 
@@ -104,7 +162,7 @@ class FACodecEncoderBlock(nn.Module):
         in_ch = x.shape[-1]
         for i, d in enumerate((1, 3, 9)):
             x = FACodecResUnit(in_ch, d, name=f"res_{i}")(x)
-        x = SnakeBeta(in_ch, name="act")(x)
+        x = AliasFreeActivation1d(in_ch, name="act")(x)
         s = self.stride
         return WNConv1d(self.out_ch, 2 * s, stride=s,
                         padding=math.ceil(s / 2), name="down")(x)
@@ -132,7 +190,7 @@ class FACodecEncoder(nn.Module):
         for i, s in enumerate(self.up_ratios):
             d *= 2
             h = FACodecEncoderBlock(d, s, name=f"block_{i}")(h)
-        h = SnakeBeta(d, name="act")(h)
+        h = AliasFreeActivation1d(d, name="act")(h)
         h = WNConv1d(self.out_channels, 3, padding=1, name="head")(h)
         return jnp.swapaxes(h, 1, 2)
 
@@ -144,7 +202,7 @@ class FACodecDecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
-        x = SnakeBeta(in_ch, name="act")(x)
+        x = AliasFreeActivation1d(in_ch, name="act")(x)
         s = self.stride
         x = WNConvTranspose1d(self.out_ch, 2 * s, stride=s,
                               padding=math.ceil(s / 2), name="up")(x)
@@ -244,7 +302,7 @@ class FACodecDecoder(nn.Module):
         for i, s in enumerate(self.up_ratios):
             d //= 2
             z = FACodecDecoderBlock(d, s, name=f"block_{i}")(z)
-        z = SnakeBeta(d, name="act")(z)
+        z = AliasFreeActivation1d(d, name="act")(z)
         z = WNConv1d(1, 7, padding=3, use_bias=False, name="head")(z)
         audio = jnp.tanh(jnp.swapaxes(z, 1, 2))
         if return_info:
