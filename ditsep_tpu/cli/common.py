@@ -29,13 +29,19 @@ def load_config(name: str, overrides=None):
 
 
 def make_dataset(cfg, split: str, data_path: Optional[str],
-                 synthetic: bool = False, synthetic_items: int = 16):
+                 synthetic: bool = False, synthetic_items: int = 16,
+                 synthetic_len_s: Optional[float] = None):
     if synthetic or data_path is None:
         from ditsep_tpu.data import SyntheticMixDataset
+        kw = {}
+        if synthetic_len_s is not None:
+            # fixed-length items -> one bucket shape -> one XLA compile
+            kw = {"min_len_s": synthetic_len_s,
+                  "max_len_s": synthetic_len_s}
         return SyntheticMixDataset(
             n_items=synthetic_items,
             n_spkr=cfg["datamodule"].get("n_spkr", 2),
-            fs=cfg["datamodule"].get("fs", 8000))
+            fs=cfg["datamodule"].get("fs", 8000), **kw)
     from ditsep_tpu.data import WSJ0Mix
     dm = cfg["datamodule"]
     return WSJ0Mix(
@@ -59,6 +65,9 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="dataset root (wsj0-mix / LibriMix layout)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--synthetic-len-s", type=float, default=None,
+                   help="fixed synthetic utterance length in seconds "
+                        "(one bucket shape -> one compile)")
     p.add_argument("--workdir", default="./runs/exp")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=None)

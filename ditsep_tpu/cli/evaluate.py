@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--corrector-steps", type=int, default=1)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--eval-batch-size", type=int, default=4)
+    p.add_argument("--bucket-multiple", type=int, default=4096,
+                   help="pad utterances up to multiples of this many "
+                        "samples (fewer distinct bucket shapes = fewer "
+                        "XLA compiles)")
     p.add_argument("--latent", action="store_true",
                    help="evaluate the latent pipeline (evaluate_latent "
                         "equivalent; reference: src/evaluate_latent.py)")
@@ -39,7 +43,8 @@ def main(argv=None):
         force_cpu()
     cfg = load_config(args.config, args.override)
 
-    ds = make_dataset(cfg, "test", args.data_path, args.synthetic)
+    ds = make_dataset(cfg, "test", args.data_path, args.synthetic,
+                      synthetic_len_s=args.synthetic_len_s)
     key = jax.random.PRNGKey(args.seed)
     mix0, tgt0 = ds[0]
 
@@ -86,7 +91,7 @@ def main(argv=None):
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),
         batch_size=args.eval_batch_size, nfe=nfe, mesh=mesh,
-        out_dir=args.out_dir,
+        bucket_multiple=args.bucket_multiple, out_dir=args.out_dir,
         split_name=cfg["datamodule"]["test"]["split"], limit=args.limit,
         seed=args.seed)
     print(json.dumps(res["summary"], indent=2))

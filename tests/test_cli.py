@@ -5,6 +5,10 @@ import os
 import numpy as np
 import pytest
 
+# heavyweight end-to-end tests: deselect with -m 'not slow' for quick
+# iteration (the full suite still runs them)
+pytestmark = pytest.mark.slow
+
 TINY_WAVEFORM = [
     "model.score_model.nf=16",
     "model.score_model.ch_mult=(1, 1)",
@@ -71,6 +75,29 @@ def test_evaluate_cli(tmp_path, capsys):
     summary = json.load(open(f"{out}/librimix_test_summary.json"))
     assert summary["number"] == 2
     assert summary["nfe"] == 4
+
+
+def test_evaluate_cli_mesh(tmp_path):
+    """The north-star config-5 path: sharded batched eval over the
+    8-virtual-device mesh (reference schema, src/evaluate_mp.py:398-529).
+    The batch axis (8) shards one utterance per device."""
+    import jax
+    from ditsep_tpu.cli.evaluate import main
+    assert len(jax.devices()) == 8  # conftest provisions the virtual mesh
+    out = str(tmp_path / "results")
+    # fixed short utterances -> ONE small bucket shape -> one compiled
+    # sampler program and a small execution (compile-bound 1-vCPU box)
+    main(["--config", "diffsep", "--synthetic", "--out-dir", out,
+          "--mesh", "--sampler-N", "2", "--limit", "8",
+          "--eval-batch-size", "8", "--synthetic-len-s", "0.5",
+          "--bucket-multiple", "4096",
+          "--override", *TINY_WAVEFORM])
+    summary = json.load(open(f"{out}/librimix_test_summary.json"))
+    assert summary["number"] == 8
+    assert summary["nfe"] == 4
+    assert np.isfinite(summary["pesq"])
+    per = json.load(open(f"{out}/librimix_test.json"))
+    assert len(per) == 8
 
 
 def test_separate_cli(tmp_path):

@@ -19,6 +19,10 @@ from ditsep_tpu.training import auraloss
 
 
 # tiny VAE: hop 8, latent 4
+# heavyweight end-to-end tests: deselect with -m 'not slow' for quick
+# iteration (the full suite still runs them)
+pytestmark = pytest.mark.slow
+
 def _vae():
     return OobleckVAE(channels=8, c_mults=(1, 2), strides=(2, 4),
                       latent_dim=4)

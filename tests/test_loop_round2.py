@@ -7,6 +7,7 @@ val epochs write rich media demos to tensorboard (missing #8).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def _tiny_trainer(counters):
@@ -32,6 +33,7 @@ def _tiny_trainer(counters):
         sde=MixSDE(), cfg=DiffSepConfig(init_hack=0))
 
 
+@pytest.mark.slow
 def test_val_path_jitted_once_and_media_logged(tmp_path):
     from ditsep_tpu.data import SyntheticMixDataset
     from ditsep_tpu.training.loop import fit

@@ -10,6 +10,10 @@ from ditsep_tpu.models import ScoreModelNCSNpp
 from ditsep_tpu.sdes import MixSDE
 from ditsep_tpu.training import DiffSepConfig, DiffSepTrainer, si_sdr_pit
 
+# heavyweight end-to-end tests: deselect with -m 'not slow' for quick
+# iteration (the full suite still runs them)
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 
 
