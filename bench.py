@@ -47,33 +47,53 @@ def main():
     t_len = int(UTT_SECONDS * FS)
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = jnp.float32
+    import numpy as np
 
     key = jax.random.PRNGKey(0)
-    mix = jax.random.normal(key, (batch, 1, t_len), dtype=dtype)
-    xt = jax.random.normal(key, (batch, 2, t_len), dtype=dtype)
-    tcond = jnp.full((batch,), 0.5, dtype=dtype)
-    # jit the init: eager init dispatches thousands of tiny ops, which is
-    # slow over a remote-TPU tunnel
-    params = jax.jit(model.init)(key, xt, tcond, mix)
 
-    # params ride as jit ARGUMENTS, not closures: the axon tunnel ships
-    # compiled programs over HTTP, and closed-over params become embedded
-    # constants (hundreds of MB -> slow/failing remote compiles)
-    @jax.jit
-    def sample(params, k, y):
-        score_fn = lambda x, t, c: model.apply(params, x, t, c)
-        est, nfe = pc_sample(
-            sde, score_fn, k, y, predictor="reverse_diffusion",
-            corrector="ald2", N=30, snr=0.5, corrector_steps=1,
-            denoise=True, eps=0.03, n_spkrs=2)
-        return est
+    def build(batch):
+        mix = jax.random.normal(key, (batch, 1, t_len), dtype=dtype)
+        xt = jax.random.normal(key, (batch, 2, t_len), dtype=dtype)
+        tcond = jnp.full((batch,), 0.5, dtype=dtype)
+        # jit the init: eager init dispatches thousands of tiny ops,
+        # which is slow over a remote-TPU tunnel
+        params = jax.jit(model.init)(key, xt, tcond, mix)
 
-    # warmup/compile; a HOST READ (not just block_until_ready) is required
-    # to truly sync -- the axon runtime's block_until_ready can return
-    # before remote execution finishes right after compilation
-    import numpy as np
-    est = sample(params, jax.random.PRNGKey(1), mix)
-    float(np.asarray(jnp.mean(est.astype(jnp.float32))))
+        # params ride as jit ARGUMENTS, not closures: the axon tunnel
+        # ships compiled programs over HTTP, and closed-over params
+        # become embedded constants (hundreds of MB -> slow/failing
+        # remote compiles)
+        @jax.jit
+        def sample(params, k, y):
+            score_fn = lambda x, t, c: model.apply(params, x, t, c)
+            est, nfe = pc_sample(
+                sde, score_fn, k, y, predictor="reverse_diffusion",
+                corrector="ald2", N=30, snr=0.5, corrector_steps=1,
+                denoise=True, eps=0.03, n_spkrs=2)
+            return est
+
+        # warmup/compile; a HOST READ (not just block_until_ready) is
+        # required to truly sync -- the axon runtime's block_until_ready
+        # can return before remote execution finishes right after
+        # compilation
+        est = sample(params, jax.random.PRNGKey(1), mix)
+        float(np.asarray(jnp.mean(est.astype(jnp.float32))))
+        return sample, params, mix
+
+    # the attached chip varies by round (v5p 95 GB vs v5e 16 GB): halve
+    # the batch on HBM overflow until the program fits
+    while True:
+        try:
+            sample, params, mix = build(batch)
+            break
+        except Exception as e:  # jaxlib raises backend-specific errors
+            msg = str(e)
+            if batch > 1 and ("exceed memory" in msg
+                              or "RESOURCE_EXHAUSTED" in msg
+                              or "Allocation" in msg):
+                batch //= 2
+                continue
+            raise
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
