@@ -33,6 +33,11 @@ def main(argv=None):
                    help="pad utterances up to multiples of this many "
                         "samples (fewer distinct bucket shapes = fewer "
                         "XLA compiles)")
+    p.add_argument("--save-samples", type=int, default=0,
+                   help="dump enh{i}.wav for the first N utterances "
+                        "(reference: evaluate_mp.py save_samples)")
+    p.add_argument("--save-figures", type=int, default=0,
+                   help="save spectrogram PDFs for the first N utterances")
     p.add_argument("--latent", action="store_true",
                    help="evaluate the latent pipeline (evaluate_latent "
                         "equivalent; reference: src/evaluate_latent.py)")
@@ -93,7 +98,8 @@ def main(argv=None):
         batch_size=args.eval_batch_size, nfe=nfe, mesh=mesh,
         bucket_multiple=args.bucket_multiple, out_dir=args.out_dir,
         split_name=cfg["datamodule"]["test"]["split"], limit=args.limit,
-        seed=args.seed)
+        seed=args.seed, save_samples=args.save_samples,
+        save_figures=args.save_figures)
     print(json.dumps(res["summary"], indent=2))
 
 

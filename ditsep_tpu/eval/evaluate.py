@@ -42,6 +42,8 @@ def evaluate_dataset(
     limit: Optional[int] = None,
     metric_workers: int = 4,
     seed: int = 0,
+    save_samples: int = 0,
+    save_figures: int = 0,
 ) -> Dict:
     """Evaluate `separate_fn(key, mix (B,1,T)) -> est (B,n,T)` over a
     dataset of (mix, target) items.
@@ -96,6 +98,13 @@ def evaluate_dataset(
                     _metrics_entry, i, np.asarray(mix_b[bi][:, sl]),
                     est[bi][:, sl], np.asarray(tgt_b[bi][:, sl]), fs,
                     runtime, nfe)
+                if out_dir is not None and (i < save_samples
+                                            or i < save_figures):
+                    _save_media(out_dir, split_name, i,
+                                np.asarray(mix_b[bi][:, sl]), est[bi][:, sl],
+                                np.asarray(tgt_b[bi][:, sl]), fs,
+                                wavs=i < save_samples,
+                                figure=i < save_figures)
 
     for i, fut in futures.items():
         results[str(i)] = fut.result()
@@ -110,6 +119,31 @@ def evaluate_dataset(
         with open(out / f"{split_name}_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
     return {"results": results, "summary": summary}
+
+
+def _save_media(out_dir, split_name, idx, mix, est, target, fs,
+                wavs=True, figure=False) -> None:
+    """Per-utterance wav dumps + spectrogram figure (reference:
+    src/evaluate_mp.py:100-168 save_fig/save_samples; enh{i}.wav names
+    match the reference's)."""
+    from ditsep_tpu.data.wsj0_mix import write_wav
+
+    media = Path(out_dir) / f"{split_name}_media"
+    media.mkdir(parents=True, exist_ok=True)
+    if wavs:
+        peak = max(float(np.abs(est).max()), 1e-6)
+        for s in range(est.shape[0]):
+            write_wav(str(media / f"{idx:04d}.enh{s}.wav"),
+                      est[s] * 0.95 / peak, fs)
+    if figure:
+        try:
+            from ditsep_tpu.viz import separation_figure
+            fig = separation_figure(mix.reshape(-1), est, target, fs=fs)
+            fig.savefig(str(media / f"{idx:04d}.pdf"))
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+        except Exception:
+            pass  # figures must never take down an eval run
 
 
 def _metrics_entry(idx, mix, est, target, fs, runtime, nfe) -> Dict:

@@ -150,9 +150,15 @@ def test_evaluate_dataset_end_to_end(tmp_path):
 
     res = evaluate_dataset(
         separate_fn, ds, fs=8000, batch_size=2, bucket_multiple=4096,
-        out_dir=str(tmp_path), split_name="synthetic_test")
+        out_dir=str(tmp_path), split_name="synthetic_test",
+        save_samples=2, save_figures=1)
     assert res["summary"]["number"] == 6
     assert res["summary"]["si_sdr"] > 40
+    # media dumps (reference: evaluate_mp.py save_fig/save_samples)
+    media = tmp_path / "synthetic_test_media"
+    assert (media / "0000.enh0.wav").exists()
+    assert (media / "0001.enh1.wav").exists()
+    assert (media / "0000.pdf").exists()
     j = json.load(open(tmp_path / "synthetic_test_summary.json"))
     assert set(j) == {"batch_idx", "si_sdr", "si_sir", "si_sar", "pesq",
                       "stoi", "nfe", "runtime", "len_s", "number"}
