@@ -1,4 +1,5 @@
 """Inference: diffusion samplers, generation orchestration."""
+from ditsep_tpu.inference.diffusion_prior import stereoize
 from ditsep_tpu.inference.generation import generate_diffusion_cond
 from ditsep_tpu.inference.sampling import (
     alpha_sigma_to_t,

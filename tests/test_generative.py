@@ -152,6 +152,28 @@ def test_sample_k_converges():
     assert float(jnp.abs(out - c).max()) < 1e-3
 
 
+def test_stereoize_mono_to_stereo_prior():
+    """Dual-mono-conditioned stereo generation (reference:
+    diffusion_prior.py:16-78 MonoToStereoDiffusionPrior)."""
+    from ditsep_tpu.inference import stereoize
+    from ditsep_tpu.models.dit import DiffusionTransformer
+
+    dit = DiffusionTransformer(io_channels=2, embed_dim=32, depth=1,
+                               num_heads=2, input_concat_dim=2)
+    x = jax.random.normal(KEY, (1, 2, 48))
+    params = dit.init(KEY, x, jnp.full((1,), 0.5),
+                      input_concat_cond=jnp.zeros((1, 2, 48)))
+
+    def model_apply(xx, t, **kw):
+        return dit.apply(params, xx, t, **kw)
+
+    mono = jax.random.normal(KEY, (1, 1, 45))  # pads to min_input_length
+    out = stereoize(model_apply, jax.random.PRNGKey(1), mono, steps=3,
+                    min_input_length=16)
+    assert out.shape == (1, 2, 45)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_generate_diffusion_cond_shapes():
     from ditsep_tpu.inference import generate_diffusion_cond
     from ditsep_tpu.models.dit import DiffusionTransformer
