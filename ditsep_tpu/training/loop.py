@@ -62,6 +62,7 @@ def fit(
     init_params=None,
     log_media: bool = True,
     media_fs: int = 8000,
+    prefetch_depth: int = 0,
 ):
     """Train a DiffSepTrainer (or compatible) to convergence."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -132,7 +133,7 @@ def fit(
             trainer, state, loader, val_loader, step_fn, val_loss_fn,
             val_sep_fn, key, mesh, logger, ckpt, global_step, max_epochs,
             max_steps, log_every, valid_max_sep_batches, seed,
-            log_media, media_fs)
+            log_media, media_fs, prefetch_depth)
     except Exception:
         # emergency checkpoint so a crash loses at most one epoch
         # (the reference only prints exceptions, src/train_ldm.py:16-18)
@@ -147,10 +148,15 @@ def fit(
 
 def _prefetch(iterable, prepare, depth: int = 2):
     """Run `prepare` (host collate + device_put) for upcoming items on a
-    background thread so step N+1's batch is already on device while step
-    N runs (the reference leans on torch DataLoader workers for this,
-    src/config/diffsep/datamodule/default.yaml:3; here one thread
-    suffices because bucketing makes collation cheap)."""
+    background thread (the reference leans on torch DataLoader workers,
+    src/config/diffsep/datamodule/default.yaml:3).
+
+    MEASURED to be counterproductive on a single-vCPU host
+    (docs/prefetch_bench.json: -35% steps/s): JAX's async dispatch
+    already overlaps host prep with device execution, and the extra
+    thread only adds GIL contention. fit() therefore defaults to
+    prefetch_depth=0 (plain interleaving); enable the thread on
+    multi-core hosts where collation is genuinely expensive."""
     import queue
     import threading
 
@@ -200,7 +206,7 @@ def _log_val_media(logger, batch, est, step: int, fs: int) -> None:
 def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
                   val_sep_fn, key, mesh, logger, ckpt, global_step,
                   max_epochs, max_steps, log_every, valid_max_sep_batches,
-                  seed, log_media=True, media_fs=8000):
+                  seed, log_media=True, media_fs=8000, prefetch_depth=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -216,7 +222,10 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
     stop = False
     for epoch in range(max_epochs):
         loader.seed = seed + epoch
-        for batch in _prefetch(loader, prepare):
+        batches = (_prefetch(loader, prepare, prefetch_depth)
+                   if prefetch_depth > 0
+                   else (prepare(b) for b in loader))
+        for batch in batches:
             key, k_step = jax.random.split(key)
             state, metrics = step_fn(state, k_step, batch)
             global_step += 1
