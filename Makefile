@@ -3,7 +3,11 @@
 
 PY ?= python
 
-.PHONY: test test-full bench native train-smoke eval-smoke clean
+.PHONY: test test-full bench profile native train-smoke eval-smoke clean
+
+profile:
+	$(PY) scripts/profile_bench.py
+	$(PY) scripts/batch_scaling.py
 
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 # persistent compilation cache: the 30-step jitted sampler is a large XLA
 # program (~5-40 min first compile); cache it across processes/rounds
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 BASELINE_UTT_PER_S = 1.0 / 3.659  # reference: librimix_test_summary.json

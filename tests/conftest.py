@@ -19,5 +19,5 @@ jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: the suite is compile-bound on this 1-vCPU
 # box; cached XLA programs make repeat runs minutes instead of ~45 min
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
+                  os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
