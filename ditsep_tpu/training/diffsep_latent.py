@@ -135,10 +135,16 @@ class LatentDiffSepTrainer(DiffSepTrainer):
         return est, nfe
 
     def val_metrics_latent(self, params, vae_params, key, batch,
-                           **kwargs) -> Dict:
+                           return_est: bool = False, **kwargs):
+        """Latent separation + SI-SDR for validation; return_est also
+        hands back the decoded estimates for rich-media val demos
+        (same contract as DiffSepTrainer.val_separation_metrics)."""
         mix, target = batch
         est, _ = self.separate_latent(params, vae_params, key, mix,
                                       target_dim=target.shape[-1], **kwargs)
         si_sdr = loss_lib.si_sdr_loss(
             est, target, zero_mean=False, clamp_db=30.0, sign_flip=True)
-        return {"val/si_sdr": si_sdr}
+        metrics = {"val/si_sdr": si_sdr}
+        if return_est:
+            return metrics, est
+        return metrics
