@@ -71,9 +71,24 @@ def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
     )
 
 
-def group_norm(ch: int, *, name: Optional[str] = None, dtype=None) -> nn.GroupNorm:
+class _IdentityNorm(nn.Module):
+    """Profiling stand-in for GroupNorm (see DITSEP_ABLATE_NORM below)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
+def group_norm(ch: int, *, name: Optional[str] = None, dtype=None):
     """GroupNorm(min(ch//4, 32) groups, eps 1e-6) as used throughout NCSN++
-    (reference: layerspp.py:72-73 et al.)."""
+    (reference: layerspp.py:72-73 et al.).
+
+    DITSEP_ABLATE_NORM=1 swaps in an identity (PROFILING ONLY: quantifies
+    what the norm reduction passes cost on the hot path; never use for
+    training/eval)."""
+    import os
+    if os.environ.get("DITSEP_ABLATE_NORM") == "1":
+        return _IdentityNorm(name=name)
     return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name,
                         dtype=dtype)
 

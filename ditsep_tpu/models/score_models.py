@@ -94,6 +94,7 @@ class ScoreModelNCSNpp(nn.Module):
     image_size: int = 256
     centered: bool = False
     dropout: float = 0.0
+    fir: bool = True  # FIR (vs naive) resampling in the backbone
     dtype: Any = None
 
     def setup(self):
@@ -103,7 +104,7 @@ class ScoreModelNCSNpp(nn.Module):
             attn_resolutions=tuple(self.attn_resolutions),
             resamp_with_conv=self.resamp_with_conv,
             image_size=self.image_size, centered=self.centered,
-            dropout=self.dropout,
+            dropout=self.dropout, fir=self.fir,
             num_channels_in=2 * self.num_sources + 2,
             num_channels_out=2 * self.num_sources,
             dtype=self.dtype, name="backbone",

@@ -62,6 +62,21 @@ def test_val_path_jitted_once_and_media_logged(tmp_path):
     assert b"val/mix" in blob
 
 
+@pytest.mark.slow
+def test_fit_with_prefetch_thread(tmp_path):
+    """The opt-in background-prefetch path still trains correctly
+    (default is synchronous; docs/prefetch_bench.json)."""
+    from ditsep_tpu.data import SyntheticMixDataset
+    from ditsep_tpu.training.loop import fit
+
+    tr = _tiny_trainer({"score": 0, "sep": 0})
+    ds = SyntheticMixDataset(n_items=4, min_len_s=0.5, max_len_s=0.5)
+    state = fit(tr, ds, None, workdir=str(tmp_path / "run"), max_epochs=1,
+                batch_size=2, n_buckets=1, bucket_multiple=4096,
+                max_steps=2, prefetch_depth=2, log_media=False)
+    assert int(state.step) == 2
+
+
 def test_prefetch_preserves_order_and_propagates_errors():
     from ditsep_tpu.training.loop import _prefetch
 

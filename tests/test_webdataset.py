@@ -72,6 +72,18 @@ def test_webdataset_loader_finite_mode(tmp_path):
     assert len(batches) == 4
 
 
+def test_s3_config_gated_on_aws_cli():
+    import shutil
+
+    from ditsep_tpu.data.webdataset import S3DatasetConfig
+    cfg = S3DatasetConfig(id="s", s3_path="s3://bucket/prefix/")
+    if shutil.which("aws") is None:
+        with pytest.raises(RuntimeError, match="aws CLI"):
+            cfg.shard_urls()
+    # aws present: listing may fail for auth reasons; gating is the
+    # contract under test, not live S3 access
+
+
 def test_create_dataloader_from_config_dispatch(tmp_path):
     root = str(tmp_path / "shards")
     _make_shard(f"{root}/s0.tar", 4)
