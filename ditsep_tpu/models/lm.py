@@ -148,6 +148,53 @@ class CoarseFirstPattern:
 
 
 @dataclasses.dataclass(frozen=True)
+class UnrolledPattern:
+    """Unrolled (flattened) pattern: each timestep expands into
+    ``n_inner`` sequence steps and codebook q is emitted at inner step
+    ``flattening[q]`` -- full flattening by default, partial flattening
+    by grouping codebooks onto the same inner step
+    (reference: codebook_patterns.py:369-488 UnrolledPatternProvider;
+    the sequence starts with one empty step like the reference's
+    num_virtual_steps = T * n_inner + 1). The reference's additional
+    per-codebook delay on top of unrolling is not supported (the shipped
+    configs use delays=0)."""
+
+    n_q: int
+    special_token: int
+    flattening: tuple = ()
+
+    def __post_init__(self):
+        f = self.flattening or tuple(range(self.n_q))
+        assert len(f) == self.n_q and tuple(sorted(f)) == tuple(f)
+        object.__setattr__(self, "flattening", tuple(f))
+
+    @property
+    def n_inner(self) -> int:
+        return max(self.flattening) + 1
+
+    def seq_len(self, t: int) -> int:
+        return 1 + t * self.n_inner
+
+    def apply(self, tokens: Array) -> Array:
+        b, n_q, t = tokens.shape
+        out = jnp.full((b, n_q, self.seq_len(t)), self.special_token,
+                       tokens.dtype)
+        for q, f in enumerate(self.flattening):
+            pos = 1 + jnp.arange(t) * self.n_inner + f
+            out = out.at[:, q, pos].set(tokens[:, q])
+        return out
+
+    def revert(self, grid: Array) -> Array:
+        b, n_q, s = grid.shape
+        t = (s - 1) // self.n_inner
+        rows = []
+        for q, f in enumerate(self.flattening):
+            pos = 1 + jnp.arange(t) * self.n_inner + f
+            rows.append(grid[:, q, pos])
+        return jnp.stack(rows, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
 class MusicLMPattern:
     """Group-flattened pattern: codebook groups generate one after the
     other, each group flattened over time

@@ -50,6 +50,22 @@ def test_extra_codebook_patterns_roundtrip():
     # each sequence step carries exactly one real token
     assert int(jnp.sum(gm != 99)) == 2 * 4 * 6
 
+    from ditsep_tpu.models.lm import UnrolledPattern
+    # full flattening: every codebook on its own inner step
+    up = UnrolledPattern(n_q=4, special_token=99)
+    gu = up.apply(tokens)
+    assert gu.shape == (2, 4, 1 + 4 * 6)
+    assert jnp.array_equal(up.revert(gu), tokens)
+    assert bool((gu[..., 0] == 99).all())  # leading empty step
+    # partial flattening: codebooks 1 and 2 share an inner step
+    up2 = UnrolledPattern(n_q=3, special_token=99, flattening=(0, 1, 1))
+    t3 = tokens[:, :3]
+    gu2 = up2.apply(t3)
+    assert gu2.shape == (2, 3, 1 + 2 * 6)
+    assert jnp.array_equal(up2.revert(gu2), t3)
+    # codebooks 1 and 2 occupy the SAME sequence positions
+    assert bool((((gu2[:, 1] != 99) == (gu2[:, 2] != 99))).all())
+
 
 def test_lm_loss_init_near_uniform_and_generate():
     from ditsep_tpu.models.lm import AudioLM, lm_generate, lm_loss
