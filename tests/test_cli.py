@@ -77,6 +77,20 @@ def test_evaluate_cli(tmp_path, capsys):
     assert summary["nfe"] == 4
 
 
+def test_evaluate_cli_latent(tmp_path):
+    """The evaluate_latent equivalent: encode -> latent PC sample ->
+    decode -> metrics (reference: src/evaluate_latent.py)."""
+    from ditsep_tpu.cli.evaluate import main
+    out = str(tmp_path / "results")
+    main(["--config", "latent_diffsep_ouve", "--synthetic", "--latent",
+          "--out-dir", out, "--sampler-N", "2", "--limit", "2",
+          "--eval-batch-size", "2", "--synthetic-len-s", "0.5",
+          "--override", *TINY_LATENT])
+    summary = json.load(open(f"{out}/librimix_test_summary.json"))
+    assert summary["number"] == 2
+    assert np.isfinite(summary["si_sdr"])
+
+
 def test_evaluate_cli_mesh(tmp_path):
     """The north-star config-5 path: sharded batched eval over the
     8-virtual-device mesh (reference schema, src/evaluate_mp.py:398-529).
