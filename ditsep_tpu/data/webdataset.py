@@ -161,6 +161,18 @@ def iter_tar_samples(url: str) -> Iterator[Dict]:
             pass
 
 
+def _resample(audio: np.ndarray, fs: int, target: int) -> np.ndarray:
+    """Polyphase resample (C, T) audio from fs to target Hz
+    (reference: dataset.py:746-748 torchaudio.functional.resample)."""
+    import math
+
+    from scipy.signal import resample_poly
+
+    g = math.gcd(fs, target)
+    return np.asarray(
+        resample_poly(audio, target // g, fs // g, axis=-1), np.float32)
+
+
 @dataclasses.dataclass
 class WebDatasetDataLoader:
     """Streaming loader over tar shards (reference: dataset.py:600-800).
@@ -221,6 +233,13 @@ class WebDatasetDataLoader:
 
         def prepare(sample):
             audio = sample["audio"]
+            fs = int(sample.get("sample_rate", self.sample_rate))
+            if fs != self.sample_rate:
+                # the reference resamples every sample to the configured
+                # rate (reference: dataset.py:746-748); do the same with
+                # a polyphase resampler instead of silently yielding
+                # wrong-rate audio
+                audio = _resample(audio, fs, self.sample_rate)
             if self.force_channels == "mono" and audio.shape[0] > 1:
                 audio = audio.mean(axis=0, keepdims=True)
             elif self.force_channels == "stereo" and audio.shape[0] == 1:
@@ -322,23 +341,46 @@ class _Concat:
         raise IndexError(idx)
 
 
-def _simple_loader(ds, batch_size: int, shuffle: bool):
-    """Minimal map-style batching iterator (no torch DataLoader). Items
+class _simple_loader:
+    """Minimal map-style batching loader (no torch DataLoader). Items
     may be (audio, meta) tuples or bare arrays; audio stacks, metadata
-    collates into a list (the reference's collation_fn contract)."""
-    def gen():
-        idxs = list(range(len(ds)))
-        if shuffle:
-            random.Random(0).shuffle(idxs)
+    collates into a list (the reference's collation_fn contract).
+
+    Re-iterable: each ``__iter__`` call walks the dataset afresh (a new
+    epoch), with a per-epoch shuffle order. ``drop_last=False`` yields
+    the trailing partial batch (torch DataLoader's default)."""
+
+    def __init__(self, ds, batch_size: int, shuffle: bool,
+                 drop_last: bool = False, seed: int = 0):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        b = self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def __iter__(self):
+        idxs = list(range(len(self.ds)))
+        if self.shuffle:
+            random.Random(self.seed + self._epoch).shuffle(idxs)
+        self._epoch += 1
+
+        def collate(batch):
+            if isinstance(batch[0], tuple):
+                return (np.stack([b[0] for b in batch]),
+                        [b[1] for b in batch])
+            return np.stack(batch)
+
         batch = []
         for i in idxs:
-            batch.append(ds[i])
-            if len(batch) == batch_size:
-                first = batch[0]
-                if isinstance(first, tuple):
-                    yield (np.stack([b[0] for b in batch]),
-                           [b[1] for b in batch])
-                else:
-                    yield np.stack(batch)
+            batch.append(self.ds[i])
+            if len(batch) == self.batch_size:
+                yield collate(batch)
                 batch = []
-    return gen()
+        if batch and not self.drop_last:
+            yield collate(batch)

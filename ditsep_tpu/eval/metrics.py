@@ -199,19 +199,44 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int,
 
 
 # ----------------------------------------------------------------- PESQ --
+_PESQ_FALLBACK_WARNED = False
+
+
+def pesq_impl() -> str:
+    """Which PESQ backend `pesq_metric` will use: "itu" for the
+    ITU-wrapping `pesq` package (bit-exact with the reference,
+    src/evaluate_mp.py:29) or "p862_numpy" for the in-repo
+    implementation. Numbers from the two backends are NOT directly
+    comparable; eval harnesses record this field alongside results."""
+    try:
+        import pesq  # noqa: F401
+        return "itu"
+    except ImportError:
+        return "p862_numpy"
+
+
 def pesq_metric(ref: np.ndarray, est: np.ndarray, fs: int,
                 mode: str = "nb") -> float:
     """ITU-T P.862 PESQ (MOS-LQO). Uses the ITU-wrapping `pesq` package
-    when installed (bit-exact with the reference, src/evaluate_mp.py:29);
-    otherwise falls back to the in-repo numpy implementation
-    (ditsep_tpu.eval.pesq_p862), which follows the P.862 algorithm chain
-    and is calibrated on synthetic pairs."""
+    when installed; otherwise falls back to the in-repo numpy
+    implementation (ditsep_tpu.eval.pesq_p862), which follows the P.862
+    algorithm chain and is calibrated on synthetic pairs. Warns once on
+    fallback so parity comparisons aren't made across backends
+    unknowingly; the backend id is available via `pesq_impl()`."""
+    global _PESQ_FALLBACK_WARNED
     ref = np.asarray(ref, np.float64).reshape(-1)
     est = np.asarray(est, np.float64).reshape(-1)
     try:
         from pesq import pesq as _pesq
     except ImportError:
         from ditsep_tpu.eval.pesq_p862 import pesq as _pesq
+        if not _PESQ_FALLBACK_WARNED:
+            _PESQ_FALLBACK_WARNED = True
+            import warnings
+            warnings.warn(
+                "pesq package not installed; using the in-repo P.862 "
+                "approximation (pesq_impl='p862_numpy'). Scores are not "
+                "directly comparable to ITU-PESQ numbers.", stacklevel=2)
     try:
         return float(_pesq(fs, ref, est, mode))
     except Exception:
@@ -239,5 +264,6 @@ def compute_metrics(mix: np.ndarray, est: np.ndarray, target: np.ndarray,
         "si_sar": [float(v) for v in sar],
         "perm": [int(v) for v in perm],
         "pesq": float(np.mean(pesq_vals)),
+        "pesq_impl": pesq_impl(),
         "stoi": float(np.mean(stoi_vals)),
     }

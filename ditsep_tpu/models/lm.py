@@ -397,7 +397,10 @@ def lm_generate(model: AudioLM, params, key: Array, batch: int,
     (B, n_q, length) tokens in canonical layout."""
     pattern = pattern or DelayPattern(model.n_quantizers,
                                       model.special_token)
-    steps = length + pattern.extra_steps
+    if hasattr(pattern, "seq_len"):
+        steps = pattern.seq_len(length)
+    else:
+        steps = length + pattern.extra_steps
     n_q = model.n_quantizers
     n_prep = 0 if prepend_cond is None else prepend_cond.shape[1]
     use_cfg = cfg_scale != 1.0 and (
@@ -460,18 +463,21 @@ def lm_generate(model: AudioLM, params, key: Array, batch: int,
         (_, _, out, _), _ = jax.lax.scan(
             step, (tok0, cache, out, key), jnp.arange(steps - 1))
     # pattern-invalid positions carry the special token by construction
-    delayed = jnp.where(_pattern_valid_mask(pattern, batch, steps), out,
+    delayed = jnp.where(_pattern_valid_mask(pattern, batch, length), out,
                         model.special_token)
     return pattern.revert(delayed)
 
 
-def _pattern_valid_mask(pattern, batch: int, steps: int) -> Array:
-    """(B, n_q, steps) mask of positions that carry real tokens in the
-    delayed layout (reference: pattern.build_pattern_sequence masks)."""
-    n_q = pattern.n_q
-    t = jnp.arange(steps)[None, :]
-    q = jnp.arange(n_q)[:, None]
-    extra = getattr(pattern, "extra_steps", 0)
-    length = steps - extra
-    valid = (t >= q) & (t < q + length)
-    return jnp.broadcast_to(valid[None], (batch, n_q, steps))
+def _pattern_valid_mask(pattern, batch: int, length: int) -> Array:
+    """(B, n_q, seq) mask of positions that carry real tokens in the
+    pattern layout (reference: pattern.build_pattern_sequence masks).
+
+    Derived from the pattern's own ``apply``: a marker grid of canonical
+    shape (1, n_q, length) is laid out by the pattern, and every position
+    still holding the fill value (``special_token``) is invalid. This
+    stays correct for any pattern -- per-codebook delays, flattening,
+    coarse-first -- rather than hardcoding the default delay layout."""
+    marker = pattern.special_token - 1
+    grid = jnp.full((1, pattern.n_q, length), marker, jnp.int32)
+    valid = pattern.apply(grid) == marker
+    return jnp.broadcast_to(valid, (batch,) + valid.shape[1:])

@@ -113,6 +113,7 @@ class Attention(nn.Module):
     dim: int
     dim_heads: int = 64
     dim_context: Optional[int] = None
+    dim_out: Optional[int] = None  # output width; defaults to dim
     causal: bool = False
     zero_init_output: bool = True
     qk_norm: str = "none"
@@ -192,7 +193,8 @@ class Attention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_cache)
             out = out.transpose(0, 2, 1, 3).reshape(
                 x.shape[0], x.shape[1], -1)
-            out = nn.Dense(self.dim, use_bias=False, kernel_init=out_init,
+            out = nn.Dense(self.dim_out or self.dim, use_bias=False,
+                           kernel_init=out_init,
                            name="to_out", dtype=self.dtype)(out)
             return out, (k_cache, v_cache)
 
@@ -215,7 +217,8 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], -1)
-        return nn.Dense(self.dim, use_bias=False, kernel_init=out_init,
+        return nn.Dense(self.dim_out or self.dim, use_bias=False,
+                        kernel_init=out_init,
                         name="to_out", dtype=self.dtype)(out)
 
 

@@ -103,17 +103,22 @@ class AttnBlock1d(nn.Module):
     def __call__(self, x: Array, context: Optional[Array] = None,
                  context_mask: Optional[Array] = None) -> Array:
         c = x.shape[-1]
+        # inner width = heads * dim_head projected back to the channel
+        # width, honoring the attention_heads knob exactly like the
+        # reference Transformer1d (adp.py:545-641)
         dim_heads = min(self.dim_head, c)
+        inner = self.heads * dim_heads
         h = nn.GroupNorm(num_groups=_gn_groups(c, 32), epsilon=1e-6,
                          name="norm", dtype=self.dtype)(x)
-        h = Attention(c, dim_heads=dim_heads, causal=self.causal,
+        h = Attention(inner, dim_heads=dim_heads, dim_out=c,
+                      causal=self.causal,
                       name="attn", zero_init_output=True,
                       dtype=self.dtype)(h)
         x = x + h
         if context is not None:
             h = nn.GroupNorm(num_groups=_gn_groups(c, 32), epsilon=1e-6,
                              name="cross_norm", dtype=self.dtype)(x)
-            h = Attention(c, dim_heads=dim_heads,
+            h = Attention(inner, dim_heads=dim_heads, dim_out=c,
                           dim_context=context.shape[-1], name="cross_attn",
                           zero_init_output=True, dtype=self.dtype)(
                 h, context=context, mask=context_mask)

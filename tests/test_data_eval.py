@@ -115,9 +115,11 @@ def test_compute_metrics_schema():
     mix = tgt.sum(0, keepdims=True)
     est = tgt + 0.05 * rng.standard_normal((2, 16000)).astype(np.float32)
     m = compute_metrics(mix, est, tgt, fs=8000)
-    assert set(m) == {"si_sdr", "si_sir", "si_sar", "perm", "pesq", "stoi"}
+    assert set(m) == {"si_sdr", "si_sir", "si_sar", "perm", "pesq",
+                      "pesq_impl", "stoi"}
     assert len(m["si_sdr"]) == 2
     assert np.isnan(m["pesq"]) or m["pesq"] > 0  # pesq pkg optional
+    assert m["pesq_impl"] in ("itu", "p862_numpy")
 
 
 # ---------------------------------------------------------- eval harness --

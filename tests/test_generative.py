@@ -140,6 +140,29 @@ def test_lm_generate_sampling_modes_and_cfg():
         assert int(g.min()) >= 0 and int(g.max()) < 16
 
 
+def test_lm_generate_nondefault_patterns_in_range():
+    """lm_generate must derive the valid-position mask from the pattern
+    itself: ParallelPattern (all positions valid), CustomDelayPattern
+    with non-default delays, and UnrolledPattern must all yield tokens
+    inside the codec range -- never the special token (= codebook_size)."""
+    from ditsep_tpu.models.lm import (AudioLM, CustomDelayPattern,
+                                      ParallelPattern, UnrolledPattern,
+                                      lm_generate)
+    lm = AudioLM(n_quantizers=3, codebook_size=16, dim=32, depth=1,
+                 num_heads=2)
+    tokens = jax.random.randint(KEY, (1, 3, 6), 0, 16)
+    params = lm.init(KEY, tokens)
+    patterns = [
+        ParallelPattern(3, 16),
+        CustomDelayPattern(3, 16, delays=(0, 2, 5)),
+        UnrolledPattern(3, 16),
+    ]
+    for pat in patterns:
+        g = lm_generate(lm, params, KEY, batch=1, length=4, pattern=pat)
+        assert g.shape == (1, 3, 4), type(pat).__name__
+        assert int(g.min()) >= 0 and int(g.max()) < 16, type(pat).__name__
+
+
 def test_lm_top_p_and_top_k_masks():
     from ditsep_tpu.models.lm import _mask_top_k, _mask_top_p
     logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
