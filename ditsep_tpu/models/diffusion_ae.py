@@ -20,6 +20,23 @@ from ditsep_tpu.inference.sampling import sample
 Array = jax.Array
 
 
+class NCWEncoder:
+    """Layout adapter: wraps an NWC Flax encoder (e.g. OobleckEncoder,
+    (B, T, C) -> (B, T/hop, D)) behind the channel-first (B, C, T) ->
+    (B, D, T/hop) contract DiffusionAutoencoder expects (the reference
+    encoders are all channel-first, autoencoders.py:285-316)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def init(self, key, audio: Array):
+        return self.inner.init(key, jnp.swapaxes(audio, 1, 2))
+
+    def apply(self, params, audio: Array) -> Array:
+        out = self.inner.apply(params, jnp.swapaxes(audio, 1, 2))
+        return jnp.swapaxes(out, 1, 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionAutoencoder:
     """Functional wrapper: `encoder` is a Flax module (B, C, T) ->

@@ -120,6 +120,112 @@ def create_diffusion_cond_from_config(cfg: Dict[str, Any]):
     return dit, routing, cond_cfgs
 
 
+def create_diffAE_from_config(cfg: Dict[str, Any]):
+    """Build a DiffusionAutoencoder from the reference diffAE JSON schema
+    (reference: autoencoders.py:911-974 create_diffAE_from_config):
+    an (optional oobleck) encoder to a compact latent + a diffusion net
+    ('dit' or 'adp_1d') reconstructing audio conditioned on the latent."""
+    from ditsep_tpu.models.diffusion_ae import DiffusionAutoencoder, NCWEncoder
+    from ditsep_tpu.models.oobleck import OobleckEncoder
+
+    model = cfg["model"]
+    latent_dim = model["latent_dim"]
+    downsampling_ratio = model["downsampling_ratio"]
+    io_channels = model["io_channels"]
+
+    enc_cfg = model.get("encoder")
+    encoder = None
+    if enc_cfg is not None:
+        assert enc_cfg["type"] == "oobleck", (
+            "only oobleck encoders are supported for diffusion_autoencoder")
+        e = enc_cfg.get("config", {})
+        encoder = NCWEncoder(OobleckEncoder(
+            in_channels=e.get("in_channels", io_channels),
+            channels=e.get("channels", 128),
+            latent_dim=e.get("latent_dim", latent_dim),
+            c_mults=tuple(e.get("c_mults", (1, 2, 4, 8, 16))),
+            strides=tuple(e.get("strides", (2, 4, 4, 8, 8))),
+            use_snake=e.get("use_snake", False)))
+
+    diff = model["diffusion"]
+    diff_type = diff.get("type", "dit")
+    diff_cfg = diff.get("config", {})
+    if diff_type in ("adp_1d", "adp_cfg_1d"):
+        from ditsep_tpu.models.unet1d import create_unet_from_config
+        diffusion = create_unet_from_config(diff_type, diff_cfg)
+    elif diff_type == "dit":
+        diffusion = DiffusionTransformer(
+            io_channels=diff_cfg.get("io_channels", io_channels),
+            embed_dim=diff_cfg.get("embed_dim", 768),
+            depth=diff_cfg.get("depth", 12),
+            num_heads=diff_cfg.get("num_heads", 8),
+            cond_token_dim=diff_cfg.get("cond_token_dim", 0),
+            global_cond_dim=diff_cfg.get("global_cond_dim", 0))
+    else:
+        raise NotImplementedError(
+            f"Unknown diffAE diffusion type: {diff_type}")
+    return DiffusionAutoencoder(
+        encoder=encoder, diffusion=diffusion, latent_dim=latent_dim,
+        downsampling_ratio=downsampling_ratio, io_channels=io_channels)
+
+
+def create_audio_lm_from_config(cfg: Dict[str, Any]):
+    """Build (AudioLM, pattern) from the reference lm JSON schema
+    (reference: lm.py:471-540 create_audio_lm_from_config). The
+    reference derives n_quantizers/codebook_size from a discrete
+    pretransform; this image has no pretrained discrete codec weights,
+    so those two values may also be given directly in
+    model.lm.config -- everything else follows the reference layout
+    (codebook_pattern name, continuous_transformer backbone config,
+    conditioning id lists)."""
+    from ditsep_tpu.models.lm import (AudioLM, DelayPattern, MusicLMPattern,
+                                      ParallelPattern, UnrolledPattern)
+
+    model = cfg["model"]
+    lm_cfg = model.get("lm")
+    assert lm_cfg is not None, "lm config must be specified in model config"
+    c = dict(lm_cfg.get("config", {}))
+
+    n_q = c.pop("n_quantizers", None)
+    codebook_size = c.pop("codebook_size", None)
+    pre = model.get("pretransform")
+    if pre is not None:
+        pcfg = pre.get("config", {})
+        bn = pcfg.get("bottleneck", {})
+        n_q = n_q or bn.get("config", {}).get("num_quantizers",
+                                              bn.get("config", {})
+                                              .get("n_codebooks"))
+        codebook_size = codebook_size or bn.get("config", {}).get(
+            "codebook_size")
+    assert n_q and codebook_size, (
+        "n_quantizers/codebook_size must come from model.lm.config or a "
+        "discrete pretransform bottleneck config")
+
+    lm_type = lm_cfg.get("type", "continuous_transformer")
+    assert lm_type == "continuous_transformer", (
+        f"Unrecognized lm type {lm_type} (x-transformers is not vendored "
+        "in this build; continuous_transformer covers the shipped configs)")
+    lm = AudioLM(
+        n_quantizers=int(n_q), codebook_size=int(codebook_size),
+        dim=c.get("embed_dim", c.get("dim", 256)),
+        depth=c.get("depth", 4),
+        num_heads=c.get("num_heads", 4),
+        cross_attn_cond_dim=c.get("cross_attn_cond_dim", 0),
+        prepend_cond_dim=c.get("prepend_cond_dim", 0),
+        global_cond_dim=c.get("global_cond_dim", 0))
+
+    patterns = {
+        "parallel": lambda: ParallelPattern(lm.n_quantizers, codebook_size),
+        "delay": lambda: DelayPattern(lm.n_quantizers, codebook_size),
+        "unroll": lambda: UnrolledPattern(lm.n_quantizers, codebook_size),
+        "musiclm": lambda: MusicLMPattern(lm.n_quantizers, codebook_size),
+    }
+    name = lm_cfg.get("codebook_pattern", "delay")
+    if name not in patterns:
+        raise NotImplementedError(f"Unknown codebook pattern: {name}")
+    return lm, patterns[name]()
+
+
 def create_model_from_config(cfg: Dict[str, Any]):
     """Top-level dispatch (reference: factory.py:3-24)."""
     model_type = cfg.get("model_type")
@@ -131,6 +237,10 @@ def create_model_from_config(cfg: Dict[str, Any]):
         return create_diffusion_cond_from_config(cfg)
     if model_type == "diffusion_uncond":
         return create_diffusion_cond_from_config(cfg)[0]
+    if model_type == "diffusion_autoencoder":
+        return create_diffAE_from_config(cfg)
+    if model_type == "lm":
+        return create_audio_lm_from_config(cfg)
     raise NotImplementedError(f"Unknown model type: {model_type}")
 
 

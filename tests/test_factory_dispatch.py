@@ -1,0 +1,121 @@
+"""create_model_from_config must dispatch ALL five reference model types
+(reference: src/stable_audio_tools/models/factory.py:3-24). The
+autoencoder / diffusion_cond / diffusion_uncond paths are covered
+elsewhere; these tests cover the diffusion_autoencoder and lm paths
+end-to-end from reference-schema JSON configs."""
+import jax
+import jax.numpy as jnp
+
+from ditsep_tpu.models.factory import create_model_from_config
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_diffusion_autoencoder_from_config():
+    cfg = {
+        "model_type": "diffusion_autoencoder",
+        "sample_rate": 8000,
+        "model": {
+            "encoder": {
+                "type": "oobleck",
+                "config": {
+                    "in_channels": 1,
+                    "channels": 8,
+                    "latent_dim": 4,
+                    "c_mults": [1, 2],
+                    "strides": [2, 4],
+                },
+            },
+            "diffusion": {
+                "type": "dit",
+                "config": {
+                    "io_channels": 1,
+                    "embed_dim": 32,
+                    "depth": 1,
+                    "num_heads": 2,
+                },
+            },
+            "latent_dim": 4,
+            "downsampling_ratio": 8,
+            "io_channels": 1,
+        },
+    }
+    diffae = create_model_from_config(cfg)
+    audio = jax.random.normal(KEY, (1, 1, 64))
+    enc_params = diffae.encoder.init(KEY, audio)
+    latents = diffae.encode(enc_params, audio)
+    assert latents.shape == (1, 4, 8)  # (B, latent_dim, T/hop)
+
+    noised = jax.random.normal(KEY, (1, 1, 64))
+    t = jnp.full((1,), 0.5)
+    diff_params = diffae.diffusion.init(
+        KEY, jnp.concatenate([noised, diffae._cond(latents, 64)], axis=1), t)
+    v = diffae.diffusion_input(diff_params, noised, t, latents)
+    assert v.shape == (1, 1, 64)
+
+    rec = diffae.decode(diff_params, KEY, latents, steps=2)
+    assert rec.shape == (1, 1, 64)
+    assert bool(jnp.isfinite(rec).all())
+
+
+def test_audio_lm_from_config():
+    from ditsep_tpu.models.lm import DelayPattern, lm_generate, lm_loss
+
+    cfg = {
+        "model_type": "lm",
+        "sample_rate": 8000,
+        "model": {
+            "lm": {
+                "type": "continuous_transformer",
+                "codebook_pattern": "delay",
+                "config": {
+                    "n_quantizers": 2,
+                    "codebook_size": 16,
+                    "embed_dim": 32,
+                    "depth": 1,
+                    "num_heads": 2,
+                },
+            },
+        },
+    }
+    lm, pattern = create_model_from_config(cfg)
+    assert isinstance(pattern, DelayPattern)
+    assert lm.n_quantizers == 2 and lm.codebook_size == 16
+
+    tokens = jax.random.randint(KEY, (1, 2, 6), 0, 16)
+    params = lm.init(KEY, tokens)
+    loss = float(lm_loss(lm, params, tokens, pattern=pattern))
+    assert jnp.isfinite(loss)
+    gen = lm_generate(lm, params, KEY, batch=1, length=4, pattern=pattern)
+    assert gen.shape == (1, 2, 4)
+    assert int(gen.min()) >= 0 and int(gen.max()) < 16
+
+
+def test_audio_lm_from_config_pretransform_bottleneck():
+    """n_quantizers/codebook_size may come from a discrete pretransform
+    bottleneck config, like the reference derives them from the
+    pretransform (lm.py:490-496)."""
+    cfg = {
+        "model_type": "lm",
+        "sample_rate": 8000,
+        "model": {
+            "pretransform": {
+                "type": "autoencoder",
+                "config": {
+                    "bottleneck": {
+                        "type": "rvq",
+                        "config": {"num_quantizers": 3,
+                                   "codebook_size": 32},
+                    },
+                },
+            },
+            "lm": {
+                "type": "continuous_transformer",
+                "codebook_pattern": "parallel",
+                "config": {"embed_dim": 32, "depth": 1, "num_heads": 2},
+            },
+        },
+    }
+    lm, pattern = create_model_from_config(cfg)
+    assert lm.n_quantizers == 3 and lm.codebook_size == 32
+    assert type(pattern).__name__ == "ParallelPattern"
