@@ -33,6 +33,12 @@ def main(argv=None):
                    help="pad utterances up to multiples of this many "
                         "samples (fewer distinct bucket shapes = fewer "
                         "XLA compiles)")
+    p.add_argument("--max-buckets", type=int, default=8,
+                   help="cap on distinct padded length shapes (each costs "
+                        "one XLA compile); sparse buckets consolidate")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the untimed warmup call per bucket shape "
+                        "(compile time then lands in 'runtime')")
     p.add_argument("--save-samples", type=int, default=0,
                    help="dump enh{i}.wav for the first N utterances "
                         "(reference: evaluate_mp.py save_samples)")
@@ -96,10 +102,11 @@ def main(argv=None):
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),
         batch_size=args.eval_batch_size, nfe=nfe, mesh=mesh,
-        bucket_multiple=args.bucket_multiple, out_dir=args.out_dir,
+        bucket_multiple=args.bucket_multiple, max_buckets=args.max_buckets,
+        out_dir=args.out_dir,
         split_name=cfg["datamodule"]["test"]["split"], limit=args.limit,
         seed=args.seed, save_samples=args.save_samples,
-        save_figures=args.save_figures)
+        save_figures=args.save_figures, warmup=not args.no_warmup)
     print(json.dumps(res["summary"], indent=2))
 
 

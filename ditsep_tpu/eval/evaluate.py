@@ -28,6 +28,36 @@ from ditsep_tpu.eval.metrics import compute_metrics
 Array = jax.Array
 
 
+def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
+    """Map each utterance length to a static padded length, capping the
+    number of distinct padded shapes at `max_buckets` (each distinct
+    (length, batch) shape costs one XLA compile; a long-tailed test set
+    must not trigger dozens of multi-minute compiles). When the rounded
+    lengths exceed the cap, boundaries fall on per-utterance-count
+    quantiles so padding overhead stays small where the data is dense."""
+    rounded = sorted({-(-L // bucket_multiple) * bucket_multiple
+                      for L in lengths})
+    if len(rounded) > max_buckets:
+        by_len = sorted(lengths)
+        n = len(by_len)
+        bounds = sorted({
+            -(-by_len[min(n - 1, (k * n) // max_buckets - 1)]
+              // bucket_multiple) * bucket_multiple
+            for k in range(1, max_buckets + 1)})
+        if bounds[-1] < rounded[-1]:
+            bounds[-1] = rounded[-1]
+        print(f"[evaluate] consolidating {len(rounded)} length buckets "
+              f"-> {len(bounds)} (max_buckets={max_buckets}); padded "
+              f"shapes: {bounds}")
+        rounded = bounds
+    import bisect
+
+    def assign(L):
+        return rounded[bisect.bisect_left(rounded, L)]
+
+    return {i: assign(L) for i, L in enumerate(lengths)}
+
+
 def evaluate_dataset(
     separate_fn,
     dataset,
@@ -35,6 +65,7 @@ def evaluate_dataset(
     fs: int = 8000,
     batch_size: int = 4,
     bucket_multiple: int = 4096,
+    max_buckets: int = 8,
     nfe: int = 60,
     mesh=None,
     out_dir: Optional[str] = None,
@@ -44,6 +75,7 @@ def evaluate_dataset(
     seed: int = 0,
     save_samples: int = 0,
     save_figures: int = 0,
+    warmup: bool = True,
 ) -> Dict:
     """Evaluate `separate_fn(key, mix (B,1,T)) -> est (B,n,T)` over a
     dataset of (mix, target) items.
@@ -51,20 +83,32 @@ def evaluate_dataset(
     Returns {"results": per-utterance dict, "summary": mean dict}; writes
     `<split>.json` and `<split>_summary.json` when out_dir is given
     (reference: src/evaluate_mp.py:516-529).
+
+    Timing semantics match the reference (src/evaluate_mp.py:313-327):
+    `runtime` is steady-state sampling wall-clock per utterance. Each
+    bucket shape is warmed up with one untimed call before its batches
+    are timed, so XLA compilation never lands in the recorded runtime
+    (disable with warmup=False in compile-bound smoke tests).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_items = len(dataset) if limit is None else min(limit, len(dataset))
-    # group indices into static-length buckets
+    # group indices into static-length buckets (capped distinct shapes)
     lengths = [dataset[i][0].shape[-1] for i in range(n_items)]
+    assigned = _bucket_lengths(lengths, bucket_multiple, max_buckets)
     buckets: Dict[int, list] = {}
-    for i, L in enumerate(lengths):
-        b = -(-L // bucket_multiple) * bucket_multiple
-        buckets.setdefault(b, []).append(i)
+    for i in range(n_items):
+        buckets.setdefault(assigned[i], []).append(i)
 
     sharding = None
+    n_dev = 1
     if mesh is not None:
         sharding = NamedSharding(mesh, P("data"))
+        n_dev = mesh.devices.size
+    # the jitted batch must split evenly over the mesh's data axis:
+    # round the static batch shape up to a device-count multiple
+    # (reference harness handles any utterance count, evaluate_mp.py:466)
+    eff_batch = -(-batch_size // n_dev) * n_dev
 
     results: Dict[str, Dict] = {}
     pool = ThreadPoolExecutor(metric_workers)
@@ -72,17 +116,23 @@ def evaluate_dataset(
     key = jax.random.PRNGKey(seed)
 
     for blen, idxs in sorted(buckets.items()):
-        for start in range(0, len(idxs), batch_size):
-            chunk = idxs[start:start + batch_size]
+        warmed = not warmup
+        # chunk by the effective (device-rounded) batch: the jitted shape
+        # is eff_batch either way, so larger chunks are free utilization
+        for start in range(0, len(idxs), eff_batch):
+            chunk = idxs[start:start + eff_batch]
             items = [dataset[i] for i in chunk]
             n_real = len(items)
-            while len(items) < batch_size:  # static batch shape
+            while len(items) < eff_batch:  # static batch shape
                 items.append(items[-1])
             mix_b, tgt_b = max_collator(items, pad_to=blen)
             mix_j = jax.numpy.asarray(mix_b)
             if sharding is not None:
                 mix_j = jax.device_put(mix_j, sharding)
             key, sub = jax.random.split(key)
+            if not warmed:  # absorb XLA compile outside the timing
+                jax.block_until_ready(separate_fn(sub, mix_j))
+                warmed = True
             t0 = time.perf_counter()
             est = separate_fn(sub, mix_j)
             est = jax.block_until_ready(est)

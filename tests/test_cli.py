@@ -101,10 +101,12 @@ def test_evaluate_cli_mesh(tmp_path):
     out = str(tmp_path / "results")
     # fixed short utterances -> ONE small bucket shape -> one compiled
     # sampler program and a small execution (compile-bound 1-vCPU box)
+    # eval-batch-size 4 on 8 devices: the harness must round the static
+    # batch up to the device count (VERDICT r2 item 3a regression)
     main(["--config", "diffsep", "--synthetic", "--out-dir", out,
           "--mesh", "--sampler-N", "2", "--limit", "8",
-          "--eval-batch-size", "8", "--synthetic-len-s", "0.5",
-          "--bucket-multiple", "4096",
+          "--eval-batch-size", "4", "--synthetic-len-s", "0.5",
+          "--bucket-multiple", "4096", "--no-warmup",
           "--override", *TINY_WAVEFORM])
     summary = json.load(open(f"{out}/librimix_test_summary.json"))
     assert summary["number"] == 8

@@ -123,6 +123,80 @@ def test_compute_metrics_schema():
 
 
 # ---------------------------------------------------------- eval harness --
+def test_evaluate_dataset_mesh_partial_batch():
+    """batch 4 on an 8-device mesh with a partial trailing chunk: the
+    harness must pad every batch to a device-count multiple so sharding
+    never fails on utterance counts the reference handles trivially
+    (reference: src/evaluate_mp.py:466-514)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ditsep_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    ds = SyntheticMixDataset(n_items=5, min_len_s=0.4, max_len_s=0.5)
+    shapes = []
+
+    @jax.jit
+    def sep(key, mix):
+        return jnp.concatenate([mix * 0.6, mix * 0.4], axis=1)
+
+    def separate_fn(key, mix):
+        shapes.append(tuple(mix.shape))
+        return sep(key, mix)
+
+    res = evaluate_dataset(separate_fn, ds, fs=8000, batch_size=4,
+                           bucket_multiple=4096, mesh=mesh, warmup=False)
+    assert res["summary"]["number"] == 5
+    assert all(s[0] % 8 == 0 for s in shapes), shapes
+
+
+def test_evaluate_dataset_runtime_excludes_compile():
+    """The recorded per-utterance runtime must be steady-state sampling
+    only: the first call on each bucket shape (which pays XLA compile)
+    happens in an untimed warmup (reference timing semantics:
+    src/evaluate_mp.py:313-327)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    ds = SyntheticMixDataset(n_items=8, min_len_s=0.4, max_len_s=1.2)
+    seen = set()
+
+    def separate_fn(key, mix):
+        shape = tuple(mix.shape)
+        if shape not in seen:  # simulate a slow first-shape compile
+            seen.add(shape)
+            _time.sleep(0.5)
+        return jnp.concatenate([mix * 0.6, mix * 0.4], axis=1)
+
+    res = evaluate_dataset(separate_fn, ds, fs=8000, batch_size=2,
+                           bucket_multiple=4096, warmup=True)
+    assert res["summary"]["number"] == 8
+    worst = max(r["runtime"] for r in res["results"].values())
+    assert worst < 0.25, worst  # 0.5 s "compile" never lands in runtime
+
+
+def test_bucket_consolidation_cap(capsys):
+    """A long-tailed length distribution must compile at most max_buckets
+    distinct shapes, every utterance still fits its padded length, and
+    the consolidation is announced."""
+    from ditsep_tpu.eval.evaluate import _bucket_lengths
+
+    lengths = list(range(4000, 40001, 1357))
+    assigned = _bucket_lengths(lengths, 256, 4)
+    shapes = set(assigned.values())
+    assert len(shapes) <= 4
+    assert all(assigned[i] >= L for i, L in enumerate(lengths))
+    assert "consolidating" in capsys.readouterr().out
+    # under the cap: no consolidation, exact rounding kept
+    few = [5000, 5100, 9000]
+    a2 = _bucket_lengths(few, 256, 8)
+    assert all(a2[i] % 256 == 0 and a2[i] >= L for i, L in enumerate(few))
+    assert len(set(a2.values())) == 2  # 5000/5100 round together
+
+
 def test_evaluate_dataset_end_to_end(tmp_path):
     """Oracle separator (returns the true sources) must score near-perfect
     and produce reference-schema JSON artifacts."""
