@@ -237,11 +237,16 @@ class MixSDE(BaseSDE):
     def prior_sampling(self, key: Array, shape: Tuple[int, ...], mix: Array):
         """x_T ~ N(broadcast(mix / n), Sigma(T)). `mix` is (B, 1, T) or
         (B, n, T) (reference: src/sdes/sdes.py:336-348 uses 0.5*y for n=2)."""
+        z = jax.random.normal(key, shape, dtype=mix.dtype)
+        return self.prior_from_noise(z, shape, mix)
+
+    def prior_from_noise(self, z: Array, shape: Tuple[int, ...], mix: Array):
+        """Prior sample from an explicit standard-normal draw `z`
+        (deterministic-noise path for reproducibility/parity tests)."""
         b = mix.shape[0]
         t = jnp.full((b,), self.T, dtype=mix.dtype)
         std = self.std(t, len(shape))
         mean = jnp.broadcast_to(mix / self.ndim, shape)
-        z = jax.random.normal(key, shape, dtype=mix.dtype)
         return mean + self.mult_std(std, z)
 
     def sample_time_varprop(self, key: Array, n: int, t_eps: float = 0.0,
@@ -326,6 +331,10 @@ class PriorMixSDE(MixSDE):
                         + std.b ** 2 * (n - 1) / n) * std.sig
 
     def prior_sampling(self, key: Array, shape: Tuple[int, ...], mix: Array):
+        z = jax.random.normal(key, shape, dtype=mix.dtype)
+        return self.prior_from_noise(z, shape, mix)
+
+    def prior_from_noise(self, z: Array, shape: Tuple[int, ...], mix: Array):
         b = mix.shape[0]
         t = jnp.full((b,), self.T, dtype=mix.dtype)
         std = self.std(t, mix, len(shape))
@@ -333,7 +342,6 @@ class PriorMixSDE(MixSDE):
             mean = mix
         else:
             mean = jnp.broadcast_to(mix / self.ndim, shape)
-        z = jax.random.normal(key, shape, dtype=mix.dtype)
         return mean + self.mult_std(std, z)
 
 
@@ -381,9 +389,12 @@ class OUVESDE(BaseSDE):
         return self.mean(x0, t, y), self.std(t)
 
     def prior_sampling(self, key: Array, shape: Tuple[int, ...], y: Array):
+        z = jax.random.normal(key, shape, dtype=y.dtype)
+        return self.prior_from_noise(z, shape, y)
+
+    def prior_from_noise(self, z: Array, shape: Tuple[int, ...], y: Array):
         b = y.shape[0]
         std = self.std(jnp.ones((b,), dtype=y.dtype))
-        z = jax.random.normal(key, shape, dtype=y.dtype)
         return jnp.broadcast_to(y, shape) + z * bcast_right(std, len(shape))
 
 

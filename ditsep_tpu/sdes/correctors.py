@@ -17,14 +17,16 @@ CorrectorRegistry = Registry("Corrector")
 
 @CorrectorRegistry.register("langevin")
 def langevin_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
-                       snr: float = 0.1, n_steps: int = 1):
+                       snr: float = 0.1, n_steps: int = 1, noises=None):
     """Langevin MCMC with SNR-matched step size
-    (reference: src/sdes/correctors.py:35-55)."""
+    (reference: src/sdes/correctors.py:35-55). ``noises`` (n_steps,
+    *x.shape) overrides the PRNG draws (parity testing)."""
     x_mean = x
     for i in range(n_steps):
         k_noise, key = jax.random.split(key)
         grad = score_fn(x, t, cond)
-        noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+        noise = (jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+                 if noises is None else noises[i])
         grad_norm = jnp.mean(
             jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=-1)
         )
@@ -39,7 +41,7 @@ def langevin_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
 
 @CorrectorRegistry.register("ald")
 def ald_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
-                  snr: float = 0.1, n_steps: int = 1):
+                  snr: float = 0.1, n_steps: int = 1, noises=None):
     """Annealed Langevin dynamics with scalar std step size
     (reference: src/sdes/correctors.py:58-84)."""
     x_mean = x
@@ -48,7 +50,8 @@ def ald_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
     for i in range(n_steps):
         k_noise, key = jax.random.split(key)
         grad = score_fn(x, t, cond)
-        noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+        noise = (jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+                 if noises is None else noises[i])
         step_size = (snr * s) ** 2 * 2.0
         x_mean = x + step_size * grad
         x = x_mean + noise * jnp.sqrt(step_size * 2.0)
@@ -57,7 +60,7 @@ def ald_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
 
 @CorrectorRegistry.register("ald2")
 def ald2_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
-                   snr: float = 0.1, n_steps: int = 1):
+                   snr: float = 0.1, n_steps: int = 1, noises=None):
     """Matrix annealed Langevin dynamics for Mix SDEs: the score is
     preconditioned by L L (covariance sqrt applied twice) and the noise by
     2*snr*L (reference: src/sdes/correctors.py:87-121). Thanks to the eigen
@@ -68,7 +71,8 @@ def ald2_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
     for i in range(n_steps):
         k_noise, key = jax.random.split(key)
         grad = score_fn(x, t, cond)
-        noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+        noise = (jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+                 if noises is None else noises[i])
         step_size = 2.0 * snr ** 2
         grad = sde.mult_std(L, grad)
         grad = sde.mult_std(L, grad)
@@ -78,6 +82,7 @@ def ald2_corrector(sde: BaseSDE, score_fn, x, t, cond, key,
 
 
 @CorrectorRegistry.register("none")
-def none_corrector(sde, score_fn, x, t, cond, key, snr=0.0, n_steps: int = 0):
-    del sde, score_fn, t, cond, key, snr, n_steps
+def none_corrector(sde, score_fn, x, t, cond, key, snr=0.0,
+                   n_steps: int = 0, noises=None):
+    del sde, score_fn, t, cond, key, snr, n_steps, noises
     return x, x

@@ -55,6 +55,7 @@ def pc_sample(
     schedule: Optional[str] = None,
     use_schedule_dt: bool = False,
     intermediate: bool = False,
+    noise=None,
 ):
     """Predictor-corrector sampling as one `lax.scan`.
 
@@ -63,6 +64,13 @@ def pc_sample(
     per-step ``dt`` that is silently dropped by ``getattr(kwargs, "dt", 1/N)``
     (reference src/sdes/sdes.py:104, predictors.py:45) so its effective step
     is always 1/N; set ``use_schedule_dt=True`` for the corrected integrator.
+
+    ``noise`` optionally replaces every PRNG draw with explicit
+    standard-normal arrays -- a tuple ``(prior_z (B,n_spkrs,...),
+    corrector_z (N, corrector_steps, B,n_spkrs,...), predictor_z
+    (N, B,n_spkrs,...))`` -- so a sampling run is exactly reproducible
+    against an external oracle (the torch reference pipeline in
+    tests/test_full_pipeline_parity.py consumes the same arrays).
 
     Returns ``(x, nfe)`` or ``(x, nfe, trajectory)`` if ``intermediate``.
     """
@@ -76,7 +84,12 @@ def pc_sample(
     shape = (batch, n_spkrs) + tuple(y.shape[2:])
 
     key, k_prior = jax.random.split(key)
-    x0 = sde.prior_sampling(k_prior, shape, y)
+    if noise is None:
+        prior_z = corr_z = pred_z = None
+        x0 = sde.prior_sampling(k_prior, shape, y)
+    else:
+        prior_z, corr_z, pred_z = (jnp.asarray(a, y.dtype) for a in noise)
+        x0 = sde.prior_from_noise(prior_z, shape, y)
 
     if schedule is None:
         timesteps = jnp.linspace(sde.T, eps, n)
@@ -90,23 +103,29 @@ def pc_sample(
 
     def step(carry, inputs):
         x, _ = carry
-        if dts is None:
-            t, keys = inputs
-            dt = None
+        (t, keys), inputs = inputs[:2], inputs[2:]
+        if dts is not None:
+            dt, inputs = inputs[0], inputs[1:]
         else:
-            t, keys, dt = inputs
+            dt = None
+        c_z, p_z = inputs if inputs else (None, None)
         t_vec = jnp.full((batch,), t, dtype=y.dtype)
         x, _ = corrector_fn(
-            sde, score_fn, x, t_vec, y, keys[0], snr=snr, n_steps=corrector_steps
+            sde, score_fn, x, t_vec, y, keys[0], snr=snr,
+            n_steps=corrector_steps, noises=c_z,
         )
         x, x_mean = predictor_fn(
             sde, score_fn, x, t_vec, y, keys[1], dt=dt,
-            probability_flow=probability_flow,
+            probability_flow=probability_flow, noise=p_z,
         )
         carry = (x, x_mean)
         return carry, carry if intermediate else None
 
-    inputs = (timesteps, step_keys) if dts is None else (timesteps, step_keys, dts)
+    inputs = (timesteps, step_keys)
+    if dts is not None:
+        inputs = inputs + (dts,)
+    if corr_z is not None:
+        inputs = inputs + (corr_z, pred_z)
     (xt, xt_mean), traj = jax.lax.scan(step, (x0, x0), inputs)
 
     x_result = xt_mean if denoise else xt

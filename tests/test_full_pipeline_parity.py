@@ -1,0 +1,274 @@
+"""Full-pipeline parity oracle: the reference's OWN separation pipeline
+(torch, CPU) vs our jitted pipeline, with imported weights and matched
+noise, compared at the output-waveform level.
+
+The torch side runs the reference's real components end-to-end --
+``utils.separate.normalize_batch`` -> ``sdes.get_pc_sampler(
+"reverse_diffusion", "ald2")`` (reference: src/sdes/__init__.py:133-193,
+the exact call DiffSepModel.separate / evaluate_mp make,
+src/diffsep.py:82-98, src/evaluate_mp.py:311-327) ->
+``denormalize_batch`` -- over the reference's real ScoreModelNCSNpp
+(src/models/diffsep/score_models.py:10-138) with torchaudio/hydra/CUDA-op
+stubbed by faithful CPU equivalents. The JAX side imports the torch
+weights via models.torch_import and runs our jitted
+``DiffSepTrainer.separate``. Both consume the SAME numpy noise arrays
+(prior + per-step corrector/predictor draws), so any drift in
+normalize / prior / corrector / predictor / denoise / STFT semantics
+fails the waveform comparison.
+
+This is the strongest parity statement available without the shipped
+checkpoints or data (egress is blackholed in this image); with real
+weights the same machinery validates against results/.../librimix_test
+oracles instead.
+"""
+import importlib
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from test_ncsnpp import REF_SRC, _install_reference
+
+# ------------------------------------------------------------- stubs -----
+
+
+def _load_module_from_file(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _install_torchaudio_stub():
+    """torchaudio.transforms.{Spectrogram,InverseSpectrogram} on top of
+    torch.stft/istft with torchaudio's defaults (win_length=n_fft, hann
+    window, normalized=False, onesided=True). Matches the reference's
+    stft_args usage (score_models.py:28-30)."""
+    if "torchaudio" in sys.modules:
+        return
+    ta = types.ModuleType("torchaudio")
+    tr = types.ModuleType("torchaudio.transforms")
+
+    class Spectrogram(torch.nn.Module):
+        def __init__(self, n_fft, hop_length, center=True,
+                     pad_mode="reflect", power=None):
+            super().__init__()
+            assert power is None, "reference uses complex spectrograms"
+            self.n_fft, self.hop = n_fft, hop_length
+            self.center, self.pad_mode = center, pad_mode
+            self.register_buffer("window", torch.hann_window(n_fft))
+
+        def forward(self, x):
+            shape = x.shape
+            s = torch.stft(
+                x.reshape(-1, shape[-1]), self.n_fft, self.hop, self.n_fft,
+                self.window, center=self.center, pad_mode=self.pad_mode,
+                normalized=False, onesided=True, return_complex=True)
+            return s.reshape(shape[:-1] + s.shape[-2:])
+
+    class InverseSpectrogram(torch.nn.Module):
+        def __init__(self, n_fft, hop_length, center=True,
+                     pad_mode="reflect"):
+            super().__init__()
+            self.n_fft, self.hop, self.center = n_fft, hop_length, center
+            self.register_buffer("window", torch.hann_window(n_fft))
+
+        def forward(self, spec, length=None):
+            shape = spec.shape
+            x = torch.istft(
+                spec.reshape((-1,) + shape[-2:]), self.n_fft, self.hop,
+                self.n_fft, self.window, center=self.center,
+                normalized=False, onesided=True, length=length)
+            return x.reshape(shape[:-2] + x.shape[-1:])
+
+    tr.Spectrogram = Spectrogram
+    tr.InverseSpectrogram = InverseSpectrogram
+    ta.transforms = tr
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.transforms"] = tr
+
+
+def _install_hydra_stub():
+    """hydra.utils.instantiate for the reference's _target_ dispatch
+    (score_models.py:27)."""
+    if "hydra" in sys.modules:
+        return
+    hy = types.ModuleType("hydra")
+    hu = types.ModuleType("hydra.utils")
+
+    def instantiate(cfg, **kw):
+        cfg = dict(cfg)
+        tgt = cfg.pop("_target_")
+        cfg.pop("_recursive_", None)
+        cfg.update(kw)
+        mod, cls = tgt.rsplit(".", 1)
+        return getattr(importlib.import_module(mod), cls)(**cfg)
+
+    hu.instantiate = instantiate
+    hy.utils = hu
+    sys.modules["hydra"] = hy
+    sys.modules["hydra.utils"] = hu
+
+
+def _install_utils_stub():
+    """Expose the reference's utils.registry / utils.separate without
+    running utils/__init__.py (which pulls pytorch_lightning and
+    stable_audio_tools -- absent here)."""
+    if "utils" in sys.modules and hasattr(sys.modules["utils"], "separate"):
+        return
+    pkg = types.ModuleType("utils")
+    pkg.__path__ = []
+    sys.modules["utils"] = pkg
+    reg = _load_module_from_file("utils.registry",
+                                 REF_SRC + "/utils/registry.py")
+    sep = _load_module_from_file("utils.separate",
+                                 REF_SRC + "/utils/separate.py")
+    pkg.registry = reg
+    pkg.separate = sep
+
+
+def _reference_modules():
+    _install_reference()
+    _install_torchaudio_stub()
+    _install_hydra_stub()
+    _install_utils_stub()
+    import sdes as ref_sdes
+    from models.diffsep.score_models import ScoreModelNCSNpp as TorchScore
+    ref_sep = sys.modules["utils"].separate
+    return ref_sdes, TorchScore, ref_sep
+
+
+# ------------------------------------------------------------ the test ---
+
+N_STEPS = 3
+SNR = 0.5
+T_EPS = 0.03
+T_LEN = 4000
+MODEL_KW = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=2,
+                attn_resolutions=(64,), image_size=256)
+
+
+@pytest.mark.slow
+def test_full_separation_pipeline_matches_reference():
+    ref_sdes, TorchScore, ref_sep = _reference_modules()
+
+    # --- torch reference model (random init, fixed seed) ---
+    torch.manual_seed(0)
+    tm = TorchScore(
+        num_sources=2,
+        stft_args={"n_fft": 510, "hop_length": 128, "center": True,
+                   "pad_mode": "constant"},
+        backbone_args={"_target_": "models.diffsep.ncsnpp.NCSNpp",
+                       **{k: list(v) if isinstance(v, tuple) else v
+                          for k, v in MODEL_KW.items()}},
+        transform="exponent", spec_abs_exponent=0.5, spec_factor=0.15)
+    tm.eval()
+    t_sde = ref_sdes.sdes.MixSDE(ndim=2, d_lambda=2.0, sigma_min=0.05,
+                                 sigma_max=0.5, N=N_STEPS)
+
+    # --- shared inputs + noise (the entire stochastic budget) ---
+    rng = np.random.default_rng(7)
+    mix_np = (rng.standard_normal((1, 1, T_LEN)) * 0.1).astype(np.float32)
+    prior_z = rng.standard_normal((1, 2, T_LEN)).astype(np.float32)
+    corr_z = rng.standard_normal((N_STEPS, 1, 1, 2, T_LEN)).astype(
+        np.float32)
+    pred_z = rng.standard_normal((N_STEPS, 1, 2, T_LEN)).astype(np.float32)
+
+    # --- torch pipeline: normalize -> PC sample -> denormalize ---
+    queue = [prior_z]
+    for i in range(N_STEPS):
+        queue.append(corr_z[i, 0])
+        queue.append(pred_z[i])
+    orig_randn_like = torch.randn_like
+
+    def fake_randn_like(x, *a, **k):
+        z = torch.from_numpy(queue.pop(0)).to(x.dtype)
+        assert z.shape == x.shape, (z.shape, x.shape)
+        return z
+
+    mix_t = torch.from_numpy(mix_np)
+    (mix_n, _), mean, std = ref_sep.normalize_batch((mix_t, None))
+    sampler = ref_sdes.get_pc_sampler(
+        "reverse_diffusion", "ald2", sde=t_sde, score_fn=tm, y=mix_n,
+        denoise=True, eps=T_EPS, snr=SNR, corrector_steps=1)
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            est_t, ns = sampler()
+    finally:
+        torch.randn_like = orig_randn_like
+    assert not queue, f"{len(queue)} unconsumed noise draws"
+    assert ns == N_STEPS * 2
+    est_t = ref_sep.denormalize_batch(est_t, mean, std).numpy()
+
+    # --- our pipeline: import weights, jit trainer.separate ---
+    from ditsep_tpu.models import import_params
+    from ditsep_tpu.models.score_models import ScoreModelNCSNpp
+    from ditsep_tpu.sdes import MixSDE
+    from ditsep_tpu.training import DiffSepConfig, DiffSepTrainer
+
+    fm = ScoreModelNCSNpp(num_sources=2, n_fft=510, hop_length=128,
+                          transform="exponent", spec_abs_exponent=0.5,
+                          spec_factor=0.15, **MODEL_KW)
+    key = jax.random.PRNGKey(0)
+    xt0 = jnp.zeros((1, 2, T_LEN))
+    t0 = jnp.full((1,), 0.5)
+    variables = fm.init(key, xt0, t0, jnp.asarray(mix_np))
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": import_params(variables["params"], state)}
+
+    trainer = DiffSepTrainer(
+        model=fm, sde=MixSDE(ndim=2, d_lambda=2.0, sigma_min=0.05,
+                             sigma_max=0.5, N=N_STEPS),
+        cfg=DiffSepConfig(n_speakers=2, t_eps=T_EPS))
+    noise = (prior_z, corr_z, pred_z)
+    sep_jit = jax.jit(lambda p, k, m: trainer.separate(
+        p, k, m, N=N_STEPS, snr=SNR, corrector_steps=1, noise=noise)[0])
+    est_j = np.asarray(sep_jit(params, key, jnp.asarray(mix_np)))
+
+    # --- waveform-level agreement ---
+    scale = max(np.max(np.abs(est_t)), 1e-6)
+    rel = np.max(np.abs(est_j - est_t)) / scale
+    assert rel < 1e-3, f"waveform relative error {rel}"
+
+
+@pytest.mark.slow
+def test_pc_sampler_noise_injection_matches_prng_free_run():
+    """The injectable-noise path must be exactly equivalent to the PRNG
+    path when fed the arrays the PRNG would draw -- guards the plumbing
+    the oracle test depends on."""
+    from ditsep_tpu.sdes import MixSDE, pc_sample
+
+    sde = MixSDE(N=4)
+    score = lambda x, t, y: -x
+    key = jax.random.PRNGKey(3)
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, 512)),
+        jnp.float32)
+
+    ref, nfe = pc_sample(sde, score, key, y, N=4)
+
+    # reproduce the PRNG draws with the sampler's key schedule
+    k2, k_prior = jax.random.split(key)
+    shape = (2, 2, 512)
+    prior_z = jax.random.normal(k_prior, shape)
+    step_keys = jax.random.split(k2, 8).reshape(4, 2, 2)
+    corr_z = jnp.stack([
+        jax.random.normal(jax.random.split(step_keys[i, 0])[0], shape)
+        for i in range(4)])[:, None]
+    pred_z = jnp.stack([
+        jax.random.normal(step_keys[i, 1], shape) for i in range(4)])
+
+    out, nfe2 = pc_sample(sde, score, key, y, N=4,
+                          noise=(prior_z, corr_z, pred_z))
+    assert nfe == nfe2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
