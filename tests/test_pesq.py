@@ -99,6 +99,103 @@ def test_compute_metrics_pesq_finite():
     assert np.isfinite(m["pesq"]) and m["pesq"] > 1.0
 
 
+def test_utterance_align_recovers_per_utterance_delay():
+    """Two utterances where the second is shifted +20 ms (a time-warped
+    recording): per-utterance alignment must restore both spans
+    (P.862 utterance splitting; previously only one global delay)."""
+    from ditsep_tpu.eval.pesq_p862 import _utterance_align
+
+    fs = 8000
+    t = np.arange(fs) / fs
+    # constant-envelope harmonic burst: the VAD detects the full span
+    utt = 0.5 * (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(
+        2 * np.pi * 440 * t + 0.7))
+    gap = np.zeros(int(0.5 * fs))
+    ref = np.concatenate([utt, gap, utt * 0.8, gap])
+    shift = int(0.02 * fs)
+    # second utterance delayed by `shift` samples
+    deg = ref.copy()
+    start2 = len(utt) + len(gap)
+    deg[start2:start2 + len(utt)] = 0.0
+    deg[start2 + shift:start2 + shift + len(utt)] = utt * 0.8
+    out = _utterance_align(ref, deg, fs)
+    n = min(len(out), len(ref))
+    err = np.abs(out[:n] - ref[:n])
+    # both utterance spans re-aligned to near-zero error (edges excluded:
+    # the VAD span boundary frames keep the global alignment)
+    assert err[100:len(utt) - 100].max() < 1e-6
+    assert err[start2 + 400:start2 + len(utt) - 400].max() < 1e-3
+
+
+def test_utterance_warped_scores_near_ceiling():
+    """A per-utterance time-warped copy of the reference must score near
+    the ceiling now that utterances align independently."""
+    fs = 8000
+    t = np.arange(fs) / fs
+    utt = 0.5 * (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(
+        2 * np.pi * 440 * t + 0.7))
+    gap = np.zeros(int(0.5 * fs))
+    ref = np.concatenate([utt, gap, utt * 0.8, gap])
+    # second utterance arrives 20 ms early (time-warped recording)
+    deg = np.concatenate([utt, gap[:-160], utt * 0.8, gap,
+                          np.zeros(160)])[:len(ref)]
+    v = pesq(8000, ref, deg)
+    assert v > 4.0, v
+
+
+def test_bad_interval_realignment_improves_score():
+    """A locally-shifted chunk (gross disturbance in a few frames) must
+    score better WITH bad-interval re-alignment than without."""
+    fs = 8000
+    clean = _speechlike(seconds=3.0)
+    deg = clean.copy()
+    lo, hi = int(1.0 * fs), int(1.3 * fs)
+    shift = int(0.015 * fs)  # 15 ms local slip
+    deg[lo:hi] = clean[lo + shift:hi + shift]
+    with_fix = pesq_raw(clean, deg, fs, bad_interval=True)
+    without = pesq_raw(clean, deg, fs, bad_interval=False)
+    assert with_fix >= without
+    # and the re-aligned score is decent (the slip is inaudible-ish)
+    assert with_fix > 2.5
+
+
+def test_band_edge_sensitivity_bound(clean):
+    """Quantified bound on the analytic-vs-ITU band-table deviation:
+    jittering every bark band edge by up to +-10% of a band width moves
+    the MOS of a mid-quality pair by < 0.15 -- the documented deviation
+    is second order at the precision this repo compares at."""
+    import ditsep_tpu.eval.pesq_p862 as p862
+
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(len(clean))
+    deg = clean + noise * np.sqrt((clean ** 2).mean()) * 10 ** (-15 / 20)
+    base = pesq(8000, clean, deg)
+    try:
+        p862._EDGE_PERTURB = 0.1
+        jit = pesq(8000, clean, deg)
+    finally:
+        p862._EDGE_PERTURB = 0.0
+    assert abs(jit - base) < 0.15, (base, jit)
+
+
+def test_itu_calibration_when_available(clean):
+    """Cross-check against the ITU-wrapping `pesq` package on synthetic
+    pairs (<= 0.05 mean MOS deviation). Skipped with reason when the
+    package is absent (this image: no egress, package not installed)."""
+    itu = pytest.importorskip(
+        "pesq", reason="ITU pesq package not installed in this image")
+    rng = np.random.default_rng(0)
+    devs = []
+    for snr in [30, 20, 10, 5]:
+        noise = rng.standard_normal(len(clean))
+        deg = clean + noise * np.sqrt((clean ** 2).mean()) * 10 ** (
+            -snr / 20)
+        ours = pesq(8000, clean, deg)
+        ref = itu.pesq(8000, clean, deg, "nb")
+        devs.append(abs(ours - ref))
+    assert float(np.mean(devs)) <= 0.05, devs
+
+
 def test_composite_finite(clean):
     rng = np.random.default_rng(2)
     deg = clean + 0.05 * rng.standard_normal(len(clean))
