@@ -116,6 +116,26 @@ def test_evaluate_cli_mesh(tmp_path):
     assert len(per) == 8
 
 
+def test_facodec_demo_cli(tmp_path):
+    """FACodec reconstruction demo (reference:
+    scripts/facodec_inference.py): encode -> FVQ -> decode round trip,
+    wav + code dumps (random weights: pipeline check)."""
+    from ditsep_tpu.cli.facodec_demo import main
+    from ditsep_tpu.data import write_wav
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    write_wav(str(in_dir / "a.wav"),
+              rng.standard_normal(3210).astype(np.float32) * 0.3, 16000)
+    out_dir = str(tmp_path / "out")
+    main(["--in-dir", str(in_dir), "--out-dir", out_dir])
+    from ditsep_tpu.data.wsj0_mix import read_wav
+    rec, fs = read_wav(f"{out_dir}/a_reconstructed.wav")
+    assert fs == 16000 and np.asarray(rec).reshape(-1).shape[0] == 3210
+    codes = np.load(f"{out_dir}/a_codes.npy")
+    assert codes.shape[-1] == 3 and codes.dtype.kind in "iu"
+
+
 def test_separate_cli(tmp_path):
     from ditsep_tpu.cli.separate import main
     from ditsep_tpu.data import write_wav
