@@ -60,6 +60,43 @@ def test_webdataset_loader_batches_and_bounds(tmp_path):
     assert all(np.isfinite(audio).all() for audio, _ in batches)
 
 
+def test_webdataset_loader_resamples_rate_mismatch(tmp_path):
+    """Shards at a different decoded rate must be resampled to the
+    configured sample_rate (reference: dataset.py:746-748), not silently
+    yielded at the wrong rate."""
+    shard = _make_shard(str(tmp_path / "shards" / "s0.tar"), 6, fs=16000)
+    dl = WebDatasetDataLoader(
+        [LocalWebDatasetConfig(id="t", path=shard)], sample_rate=8000,
+        sample_size=4000, batch_size=2, shuffle_buffer=2, epoch_steps=2)
+    batches = list(dl)
+    audio, metas = batches[0]
+    assert audio.shape == (2, 1, 4000)
+    # 1 s @16k -> 1 s @8k = 8000 samples total; crop window is 4000
+    assert all(abs(m["seconds_total"] - 1.0) < 0.01 for m in metas)
+
+
+def test_simple_loader_reiterable_and_partial_batch(tmp_path):
+    """audio_dir loaders must survive multiple epochs (a second epoch
+    used to silently yield zero batches) and keep the trailing partial
+    batch by default."""
+    from ditsep_tpu.data.webdataset import _simple_loader
+
+    class DS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return np.full((1, 8), i, np.float32)
+
+    ld = _simple_loader(DS(), batch_size=2, shuffle=True)
+    e1, e2 = list(ld), list(ld)
+    assert len(e1) == 3 and len(e2) == 3
+    assert e1[-1].shape[0] == 1  # trailing partial batch kept
+    assert len(ld) == 3
+    ld2 = _simple_loader(DS(), batch_size=2, shuffle=False, drop_last=True)
+    assert len(list(ld2)) == 2 and len(ld2) == 2
+
+
 def test_webdataset_loader_finite_mode(tmp_path):
     root = str(tmp_path / "shards")
     _make_shard(f"{root}/s0.tar", 9)
