@@ -57,28 +57,128 @@ def create_bottleneck_from_config(cfg: Dict[str, Any]):
     raise NotImplementedError(f"Unknown bottleneck type: {kind}")
 
 
-def create_autoencoder_from_config(cfg: Dict[str, Any]) -> OobleckVAE:
-    """Build an OobleckVAE from the reference autoencoder JSON schema
-    (reference: autoencoders.py:866-905). Only the oobleck encoder/decoder
-    pair with a VAE bottleneck maps to a single fused module; other
-    combinations raise for now."""
+def create_encoder_from_config(enc_cfg: Dict[str, Any]):
+    """Encoder dispatch covering the reference's five types
+    (reference: autoencoders.py:782-824)."""
+    from ditsep_tpu.models import codecs
+    from ditsep_tpu.models.oobleck import OobleckEncoder
+
+    kind = enc_cfg["type"]
+    c = dict(enc_cfg.get("config", {}))
+    if kind == "oobleck":
+        return OobleckEncoder(
+            in_channels=c.get("in_channels", 1),
+            channels=c.get("channels", 128),
+            latent_dim=c.get("latent_dim", 32),
+            c_mults=tuple(c.get("c_mults", (1, 2, 4, 8, 16))),
+            strides=tuple(c.get("strides", (2, 4, 4, 8, 8))),
+            use_snake=c.get("use_snake", False))
+    if kind == "dac":
+        return codecs.DACEncoderWrapper(
+            d_model=c.get("d_model", 64),
+            strides=tuple(c.get("strides", (2, 4, 8, 8))),
+            latent_dim=c.get("latent_dim"),
+            in_channels=c.get("in_channels", 1))
+    if kind == "seanet":
+        # the reference reverses ratios before construction
+        # (autoencoders.py:795-796); SEANetEncoder reverses internally,
+        # so the JSON value passes through unchanged
+        c.pop("norm", None)  # weight norm is the only scheme here
+        c.pop("activation", None)
+        c.pop("activation_params", None)
+        c.pop("causal", None)
+        c.pop("pad_mode", None)
+        c["ratios"] = tuple(c.get("ratios", (8, 5, 4, 2)))
+        return codecs.SEANetEncoder(**c)
+    if kind == "local_attn":
+        return codecs.LocalTransformerEncoder1D(
+            in_channels=c.pop("in_channels"),
+            out_channels=c.pop("out_channels"),
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in c.items()})
+    if kind == "taae":
+        return codecs.TAAEEncoder(
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in c.items()})
+    raise NotImplementedError(f"Unknown encoder type: {kind}")
+
+
+def create_decoder_from_config(dec_cfg: Dict[str, Any]):
+    """Decoder dispatch covering the reference's five types
+    (reference: autoencoders.py:826-864)."""
+    from ditsep_tpu.models import codecs
+    from ditsep_tpu.models.oobleck import OobleckDecoder
+
+    kind = dec_cfg["type"]
+    c = dict(dec_cfg.get("config", {}))
+    if kind == "oobleck":
+        return OobleckDecoder(
+            out_channels=c.get("out_channels", 1),
+            channels=c.get("channels", 128),
+            latent_dim=c.get("latent_dim", 32),
+            c_mults=tuple(c.get("c_mults", (1, 2, 4, 8, 16))),
+            strides=tuple(c.get("strides", (2, 4, 4, 8, 8))),
+            use_snake=c.get("use_snake", False),
+            use_nearest_upsample=c.get("use_nearest_upsample", False))
+    if kind == "dac":
+        return codecs.DACDecoderWrapper(
+            latent_dim=c.get("latent_dim", 32),
+            channels=c.get("channels", 1536),
+            rates=tuple(c.get("rates", (8, 8, 4, 2))),
+            out_channels=c.get("out_channels", 1))
+    if kind == "seanet":
+        c.pop("norm", None)
+        c.pop("activation", None)
+        c.pop("activation_params", None)
+        c.pop("causal", None)
+        c.pop("pad_mode", None)
+        c.pop("final_activation", None)
+        c["ratios"] = tuple(c.get("ratios", (8, 5, 4, 2)))
+        return codecs.SEANetDecoder(**c)
+    if kind == "local_attn":
+        return codecs.LocalTransformerDecoder1D(
+            in_channels=c.pop("in_channels"),
+            out_channels=c.pop("out_channels"),
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in c.items()})
+    if kind == "taae":
+        return codecs.TAAEDecoder(
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in c.items()})
+    raise NotImplementedError(f"Unknown decoder type: {kind}")
+
+
+def create_autoencoder_from_config(cfg: Dict[str, Any]):
+    """Build an autoencoder from the reference JSON schema
+    (reference: autoencoders.py:866-905). The oobleck encoder/decoder pair
+    with a VAE bottleneck maps to the fused OobleckVAE module; every other
+    encoder/decoder/bottleneck combination composes via
+    GenericAudioAutoencoder."""
     model = cfg["model"]
     enc = model["encoder"]
     dec = model["decoder"]
-    assert enc["type"] == "oobleck" and dec["type"] == "oobleck", (
-        "only oobleck encoder/decoder configs are supported")
-    bn = model.get("bottleneck", {"type": "vae"})
-    assert bn["type"] == "vae", "AudioAutoencoder maps to OobleckVAE (vae)"
-    e = enc["config"]
-    d = dec["config"]
-    return OobleckVAE(
-        in_channels=e.get("in_channels", 1),
-        out_channels=d.get("out_channels", 1),
-        channels=e.get("channels", 128),
-        latent_dim=model.get("latent_dim", d.get("latent_dim", 64)),
-        c_mults=tuple(e.get("c_mults", (1, 2, 4, 8, 16))),
-        strides=tuple(e.get("strides", (2, 4, 4, 8, 8))),
-        use_snake=e.get("use_snake", False),
+    bn = model.get("bottleneck", {"type": "vae"}) or {"type": "none"}
+    if enc["type"] == "oobleck" and dec["type"] == "oobleck" \
+            and bn["type"] == "vae":
+        e = enc["config"]
+        d = dec["config"]
+        return OobleckVAE(
+            in_channels=e.get("in_channels", 1),
+            out_channels=d.get("out_channels", 1),
+            channels=e.get("channels", 128),
+            latent_dim=model.get("latent_dim", d.get("latent_dim", 64)),
+            c_mults=tuple(e.get("c_mults", (1, 2, 4, 8, 16))),
+            strides=tuple(e.get("strides", (2, 4, 4, 8, 8))),
+            use_snake=e.get("use_snake", False),
+        )
+    from ditsep_tpu.models.codecs import GenericAudioAutoencoder
+    return GenericAudioAutoencoder(
+        encoder=create_encoder_from_config(enc),
+        decoder=create_decoder_from_config(dec),
+        latent_dim=model.get("latent_dim", 64),
+        bottleneck_type=bn["type"],
+        bottleneck_config=bn.get("config"),
+        soft_clip=model.get("soft_clip", False),
     )
 
 
@@ -212,7 +312,8 @@ def create_audio_lm_from_config(cfg: Dict[str, Any]):
         num_heads=c.get("num_heads", 4),
         cross_attn_cond_dim=c.get("cross_attn_cond_dim", 0),
         prepend_cond_dim=c.get("prepend_cond_dim", 0),
-        global_cond_dim=c.get("global_cond_dim", 0))
+        global_cond_dim=c.get("global_cond_dim", 0),
+        conformer=c.get("conformer", False))
 
     patterns = {
         "parallel": lambda: ParallelPattern(lm.n_quantizers, codebook_size),

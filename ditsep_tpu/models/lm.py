@@ -17,6 +17,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ditsep_tpu.models.transformer import ContinuousTransformer
 
@@ -152,46 +153,103 @@ class UnrolledPattern:
     """Unrolled (flattened) pattern: each timestep expands into
     ``n_inner`` sequence steps and codebook q is emitted at inner step
     ``flattening[q]`` -- full flattening by default, partial flattening
-    by grouping codebooks onto the same inner step
+    by grouping codebooks onto the same inner step, with optional
+    per-codebook ``delays`` unrolled into the emission order
     (reference: codebook_patterns.py:369-488 UnrolledPatternProvider;
     the sequence starts with one empty step like the reference's
-    num_virtual_steps = T * n_inner + 1). The reference's additional
-    per-codebook delay on top of unrolling is not supported (the shipped
-    configs use delays=0)."""
+    num_virtual_steps = T * n_inner + 1). Codebooks sharing an inner
+    step must share a delay, as in the reference. The layout is built
+    host-side per (static) length, so apply/revert stay pure
+    gather/scatter under jit."""
 
     n_q: int
     special_token: int
     flattening: tuple = ()
+    delays: tuple = ()
 
     def __post_init__(self):
         f = self.flattening or tuple(range(self.n_q))
         assert len(f) == self.n_q and tuple(sorted(f)) == tuple(f)
         object.__setattr__(self, "flattening", tuple(f))
+        d = self.delays or tuple([0] * self.n_q)
+        assert len(d) == self.n_q and tuple(sorted(d)) == tuple(d)
+        step_delay = {}
+        for q, (st, dq) in enumerate(zip(f, d)):
+            assert step_delay.setdefault(st, dq) == dq, (
+                "codebooks flattened to the same inner step must share "
+                "a delay")
+        object.__setattr__(self, "delays", tuple(d))
 
     @property
     def n_inner(self) -> int:
         return max(self.flattening) + 1
 
+    @property
+    def max_delay(self) -> int:
+        return max(self.delays)
+
+    def _layout(self, t: int):
+        """Sequence layout for ``t`` timesteps: a list whose entry s is
+        the list of (timestep, codebook) coordinates emitted at sequence
+        step s. Mirrors the reference's delayed emission order: each
+        inner step of timestep ``t0`` is keyed by ``t0 + delay`` and the
+        sequence is the stable sort of those keys
+        (codebook_patterns.py:462-487)."""
+        step_cbs = {}
+        for q, st in enumerate(self.flattening):
+            step_cbs.setdefault(st, []).append(q)
+        max_t = t + self.max_delay
+        indexed = [(-1, [])]
+        for t0 in range(max_t):
+            for st in range(self.n_inner):
+                if st in step_cbs:
+                    qs = step_cbs[st]
+                    t_for_q = t0 + self.delays[qs[0]]
+                    if t_for_q < max_t:
+                        indexed.append((t_for_q, [(t0, q) for q in qs]))
+                else:
+                    indexed.append((t0, []))
+        return [coords for _, coords in sorted(indexed)]
+
     def seq_len(self, t: int) -> int:
-        return 1 + t * self.n_inner
+        if self.max_delay == 0:
+            return 1 + t * self.n_inner
+        return len(self._layout(t))
+
+    def _timesteps_for_seq(self, s: int) -> int:
+        if self.max_delay == 0:
+            return (s - 1) // self.n_inner
+        t = max(0, (s - 1) // self.n_inner - self.max_delay)
+        while self.seq_len(t) < s:
+            t += 1
+        assert self.seq_len(t) == s, "grid length matches no timestep count"
+        return t
+
+    def _scatter_indices(self, t: int):
+        """(s_idx, q_idx, t_idx) arrays: token (q, t0 < t) lives at
+        sequence position s in the layout."""
+        s_idx, q_idx, t_idx = [], [], []
+        for s, coords in enumerate(self._layout(t)):
+            for (t0, q) in coords:
+                if t0 < t:
+                    s_idx.append(s)
+                    q_idx.append(q)
+                    t_idx.append(t0)
+        return (np.asarray(s_idx), np.asarray(q_idx), np.asarray(t_idx))
 
     def apply(self, tokens: Array) -> Array:
         b, n_q, t = tokens.shape
+        s_idx, q_idx, t_idx = self._scatter_indices(t)
         out = jnp.full((b, n_q, self.seq_len(t)), self.special_token,
                        tokens.dtype)
-        for q, f in enumerate(self.flattening):
-            pos = 1 + jnp.arange(t) * self.n_inner + f
-            out = out.at[:, q, pos].set(tokens[:, q])
-        return out
+        return out.at[:, q_idx, s_idx].set(tokens[:, q_idx, t_idx])
 
     def revert(self, grid: Array) -> Array:
         b, n_q, s = grid.shape
-        t = (s - 1) // self.n_inner
-        rows = []
-        for q, f in enumerate(self.flattening):
-            pos = 1 + jnp.arange(t) * self.n_inner + f
-            rows.append(grid[:, q, pos])
-        return jnp.stack(rows, axis=1)
+        t = self._timesteps_for_seq(s)
+        s_idx, q_idx, t_idx = self._scatter_indices(t)
+        out = jnp.full((b, n_q, t), self.special_token, grid.dtype)
+        return out.at[:, q_idx, t_idx].set(grid[:, q_idx, s_idx])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,6 +305,8 @@ class AudioLM(nn.Module):
     cross_attn_cond_dim: int = 0
     prepend_cond_dim: int = 0
     global_cond_dim: int = 0
+    conformer: bool = False
+    backbone_kwargs: Any = None
     dtype: Any = None
 
     @property
@@ -254,13 +314,17 @@ class AudioLM(nn.Module):
         return self.codebook_size  # one extra id for pattern padding / BOS
 
     def _backbone(self):
+        # extra ContinuousTransformer knobs pass through unchanged, like
+        # the reference backbone's **kwargs (lm_backbone.py:102-120)
         return ContinuousTransformer(
             dim=self.dim, depth=self.depth,
             dim_heads=self.dim // self.num_heads, causal=True,
             cross_attend=self.cross_attn_cond_dim > 0,
             cond_token_dim=self.cross_attn_cond_dim or None,
             global_cond_dim=self.global_cond_dim or None,
-            name="backbone", dtype=self.dtype)
+            conformer=self.conformer,
+            name="backbone", dtype=self.dtype,
+            **dict(self.backbone_kwargs or {}))
 
     def _embed(self, tokens: Array) -> Array:
         emb = 0.0

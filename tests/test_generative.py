@@ -67,6 +67,74 @@ def test_extra_codebook_patterns_roundtrip():
     assert bool((((gu2[:, 1] != 99) == (gu2[:, 2] != 99))).all())
 
 
+def test_unrolled_pattern_delays_roundtrip_and_reference_layout():
+    """Per-codebook delays on top of unrolling: apply/revert invert
+    exactly, and the host-side layout matches the reference's
+    UnrolledPatternProvider.get_pattern emission order bit for bit
+    (reference: codebook_patterns.py:369-488)."""
+    from ditsep_tpu.models.lm import UnrolledPattern
+    cases = [
+        (3, (0, 1, 1), (0, 3, 3), 4),
+        (4, (), (), 5),
+        (4, (0, 1, 2, 3), (0, 1, 2, 4), 5),
+        (4, (0, 0, 1, 1), (0, 0, 2, 2), 7),
+    ]
+    for n_q, flat, dly, T in cases:
+        pat = UnrolledPattern(n_q=n_q, special_token=99,
+                              flattening=flat, delays=dly)
+        tokens = jax.random.randint(KEY, (2, n_q, T), 0, 99)
+        grid = pat.apply(tokens)
+        assert grid.shape == (2, n_q, pat.seq_len(T))
+        assert jnp.array_equal(pat.revert(grid), tokens), (flat, dly)
+
+    import os
+    import sys
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, ref_src)
+    try:
+        from stable_audio_tools.models.codebook_patterns import (
+            UnrolledPatternProvider)
+    except Exception:
+        sys.path.remove(ref_src)
+        pytest.skip("reference codebook_patterns not importable")
+    try:
+        for n_q, flat, dly, T in cases:
+            ref = UnrolledPatternProvider(
+                n_q, list(flat) or None, list(dly) or None)
+            ref_layout = [[(c.t, c.q) for c in coords]
+                          for coords in ref.get_pattern(T).layout]
+            ours = UnrolledPattern(n_q=n_q, special_token=99,
+                                   flattening=flat, delays=dly)
+            assert [list(map(tuple, c)) for c in ours._layout(T)] \
+                == ref_layout, (flat, dly)
+            assert ours.seq_len(T) == len(ref_layout)
+    finally:
+        sys.path.remove(ref_src)
+
+    # inconsistent delay across a shared inner step is rejected
+    with pytest.raises(AssertionError):
+        UnrolledPattern(n_q=3, special_token=99, flattening=(0, 1, 1),
+                        delays=(0, 1, 2))
+
+
+def test_lm_conformer_backbone_variant():
+    """The conformer knob (and generic backbone kwargs) reach the
+    ContinuousTransformer, as with the reference backbone's **kwargs
+    passthrough (lm_backbone.py:102-120)."""
+    from ditsep_tpu.models.lm import AudioLM, DelayPattern, lm_loss
+    lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=1,
+                 num_heads=2, conformer=True)
+    pat = DelayPattern(2, 16)
+    tokens = jax.random.randint(KEY, (2, 2, 6), 0, 16)
+    params = lm.init(KEY, pat.apply(tokens))
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("conformer" in jax.tree_util.keystr(p) for p, _ in flat)
+    loss = lm_loss(lm, params, tokens, pat)
+    assert np.isfinite(float(loss))
+
+
 def test_lm_loss_init_near_uniform_and_generate():
     from ditsep_tpu.models.lm import AudioLM, lm_generate, lm_loss
     lm = AudioLM(n_quantizers=2, codebook_size=16, dim=32, depth=1,
@@ -156,6 +224,7 @@ def test_lm_generate_nondefault_patterns_in_range():
         ParallelPattern(3, 16),
         CustomDelayPattern(3, 16, delays=(0, 2, 5)),
         UnrolledPattern(3, 16),
+        UnrolledPattern(3, 16, flattening=(0, 1, 1), delays=(0, 2, 2)),
     ]
     for pat in patterns:
         g = lm_generate(lm, params, KEY, batch=1, length=4, pattern=pat)
