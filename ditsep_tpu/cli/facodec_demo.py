@@ -39,8 +39,7 @@ def main(argv=None):
     from ditsep_tpu.models.facodec import FACodecDecoder, FACodecEncoder
 
     enc = FACodecEncoder(ngf=32, up_ratios=(2, 4, 5, 5), out_channels=256)
-    dec = FACodecDecoder(in_channels=256, ngf=32, up_ratios=(5, 5, 4, 2),
-                         num_quantizers=3, codebook_size=1024)
+    dec = FACodecDecoder(in_channels=256, ngf=32, up_ratios=(5, 5, 4, 2))
     hop = enc.hop_length
 
     key = jax.random.PRNGKey(0)

@@ -4,10 +4,14 @@ TPU-native re-design of the vendored NaturalSpeech3 FACodec
 (reference: src/models/facodec/facodec.py:159-680, quantize/fvq.py,
 gradient_reversal.py:11-35, alias_free_torch/). Present in the reference as
 an alternative codec OFF the main separation path (SURVEY section 2.8);
-implemented here at capability level: DAC-style encoder/decoder with
-snake activations, factorized VQ (projection -> l2-normalized codebook
-lookup), a timbre extractor with attention pooling, and gradient-reversal
-speaker disentanglement.
+implemented here with the reference's full factorized structure:
+DAC-style alias-free snake encoder/decoder; three residual factorized-VQ
+groups with distinct roles (prosody / content / acoustic-residual, the
+residual group quantizing what the first two leave behind); a timbre
+transformer pooled into a speaker embedding that FiLMs decoding
+(voice conversion via ``decode_with_timbre``); F0/uv/phone supervision
+heads and optional gradient-reversal disentanglement heads; and
+codes->embedding lookup (``vq2emb``) for token-domain use.
 """
 from __future__ import annotations
 
@@ -211,20 +215,39 @@ class FACodecDecoderBlock(nn.Module):
         return x
 
 
-class TimbreExtractor(nn.Module):
-    """Global timbre embedding by attention pooling over encoder frames
-    (reference: facodec.py timbre extractor)."""
+class FacodecTimbreEncoder(nn.Module):
+    """Timbre transformer over encoder frames (reference:
+    src/models/facodec/transformer.py:86-235, instantiated facodec.py with
+    4 layers, hidden 256, 4 heads, conv-FFN filter 1024 kernel 5): pre-LN
+    self-attention + FastSpeech-style conv FFN, sinusoidal positions,
+    final LayerNorm. (B, T, D) -> (B, T, D); the decoder mean-pools it
+    into the speaker embedding."""
 
-    dim: int = 256
+    hidden: int = 256
+    num_layers: int = 4
+    num_heads: int = 4
+    filter_size: int = 1024
+    kernel_size: int = 5
 
     @nn.compact
-    def __call__(self, h: Array) -> Array:
-        """(B, D, T) -> (B, dim)."""
-        x = jnp.swapaxes(h, 1, 2)
-        x = nn.Dense(self.dim, name="proj")(x)
-        w = nn.Dense(1, name="attn")(jnp.tanh(x))  # (B, T, 1)
-        w = jax.nn.softmax(w, axis=1)
-        return jnp.sum(x * w, axis=1)
+    def __call__(self, x: Array) -> Array:
+        t, d = x.shape[1], x.shape[2]
+        assert d == self.hidden, "timbre encoder runs at the codec width"
+        pos = jnp.arange(t)[:, None] * jnp.exp(
+            jnp.arange(0, d, 2) * (-math.log(10000.0) / d))[None, :]
+        pe = jnp.zeros((t, d)).at[:, 0::2].set(jnp.sin(pos))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos))
+        x = x + pe[None]
+        for i in range(self.num_layers):
+            a = nn.LayerNorm(name=f"ln1_{i}")(x)
+            x = x + nn.SelfAttention(self.num_heads,
+                                     name=f"attn_{i}")(a)
+            f = nn.LayerNorm(name=f"ln2_{i}")(x)
+            f = nn.Conv(self.filter_size, (self.kernel_size,),
+                        padding="SAME", name=f"ffn1_{i}")(f)
+            x = x + nn.Dense(self.hidden, name=f"ffn2_{i}")(
+                jax.nn.relu(f))
+        return nn.LayerNorm(name="ln_out")(x)
 
 
 class FactorizedVQ(nn.Module):
@@ -255,61 +278,278 @@ class FactorizedVQ(nn.Module):
         out = nn.Dense(self.dim, use_bias=False, name="proj_out")(sel_st)
         return out, idx, loss
 
+    def lookup(self, idx: Array) -> Array:
+        """Codes (B, T) -> embeddings (B, T, D)
+        (reference: fvq.py:86 vq2emb)."""
+        codebook = self.get_variable("params", "codebook")
+        cb = codebook / jnp.clip(
+            jnp.linalg.norm(codebook, axis=-1, keepdims=True), min=1e-8)
+        # proj_out kernel: (codebook_dim, dim)
+        w = self.get_variable("params", "proj_out")["kernel"]
+        return cb[idx] @ w
+
+
+class FacodecRVQ(nn.Module):
+    """Residual stack of factorized VQs
+    (reference: src/models/facodec/quantize/rvq.py:12-73): layer i
+    quantizes the residual left by layers < i; outputs sum. Per-layer
+    codes and losses are returned stacked."""
+
+    num_quantizers: int
+    dim: int
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+
+    def setup(self):
+        self.layers = [FactorizedVQ(self.dim, self.codebook_size,
+                                    self.codebook_dim, name=f"vq_{i}")
+                       for i in range(self.num_quantizers)]
+
+    def __call__(self, x: Array, n_quantizers: Optional[int] = None):
+        """x: (B, T, D) -> (quantized_out, codes (nq, B, T), losses (nq,)).
+        ``n_quantizers`` statically caps the active depth (reference
+        rvq.py:50-51 eval-path break)."""
+        n = self.num_quantizers if n_quantizers is None else min(
+            int(n_quantizers), self.num_quantizers)
+        out = jnp.zeros_like(x)
+        residual = x
+        codes, losses = [], []
+        for i in range(n):
+            q, idx, loss = self.layers[i](residual)
+            residual = residual - q
+            out = out + q
+            codes.append(idx)
+            losses.append(loss)
+        return out, jnp.stack(codes), jnp.stack(losses)
+
+    def lookup(self, codes: Array) -> Array:
+        """(nq, B, T) codes -> summed embeddings (B, T, D)
+        (reference: rvq.py:75-82 vq2emb)."""
+        out = 0.0
+        for i in range(min(codes.shape[0], self.num_quantizers)):
+            out = out + self.layers[i].lookup(codes[i])
+        return out
+
+
+class CNNLSTMHead(nn.Module):
+    """Frame/utterance predictor head: three dilated snake residual units
+    then per-head linear projections (reference: facodec.py:37-57 CNNLSTM
+    -- despite the name it contains no LSTM). Input (B, T, D);
+    ``global_pred`` mean-pools time before the heads."""
+
+    out_dim: int
+    num_heads: int = 1
+    global_pred: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array):
+        d = x.shape[-1]
+        for i, dil in enumerate((1, 2, 3)):
+            x = FACodecResUnit(d, dil, name=f"res_{i}")(x)
+        x = AliasFreeActivation1d(d, name="act")(x)
+        if self.global_pred:
+            x = jnp.mean(x, axis=1)
+        return tuple(nn.Dense(self.out_dim, name=f"head_{i}")(x)
+                     for i in range(self.num_heads))
+
 
 class FACodecDecoder(nn.Module):
-    """Quantize (content + prosody FVQ stages), condition on timbre, decode
-    (reference: facodec.py:218-680, capability level)."""
+    """Grouped quantization + timbre-conditioned decoding
+    (reference: facodec.py:244-601). Three quantizer groups with distinct
+    roles: prosody (vq_num_q_p) and content (vq_num_q_c) both quantize
+    the encoder output independently; the residual/acoustic group
+    (vq_num_q_r) quantizes what they leave behind. Decoding FiLMs the
+    (detached-prosody + detached-content + optionally masked residual)
+    sum with a speaker embedding pooled from the timbre transformer, then
+    upsamples through alias-free snake blocks to audio. Supervision heads
+    (F0/uv on prosody, phone on content) and gradient-reversal
+    disentanglement heads mirror facodec.py:374-407/477-511. Voice
+    conversion: ``decode_with_timbre(z, speaker_embedding)`` reproduces
+    the reference ``inference`` (facodec.py:570-578)."""
 
     in_channels: int = 256
     ngf: int = 32
     up_ratios: Sequence[int] = (5, 5, 4, 2)
-    num_quantizers: int = 3
+    vq_num_q_p: int = 1
+    vq_num_q_c: int = 2
+    vq_num_q_r: int = 3
     codebook_size: int = 1024
-    timbre_dim: int = 256
+    codebook_dim: int = 8
+    phone_classes: int = 5003
+    timbre_layers: int = 4
+    timbre_heads: int = 4
     gr_alpha: float = 1.0
+    use_gr_content_f0: bool = False
+    use_gr_prosody_phone: bool = False
+    use_gr_residual_f0: bool = False
+    use_gr_residual_phone: bool = False
+    use_gr_x_timbre: bool = False
+    num_speakers: int = 0  # >0 enables the x-timbre speaker GR head
+    prob_random_mask_residual: float = 0.75
 
-    @nn.compact
-    def __call__(self, h: Array, *, return_info: bool = False):
-        """h: encoder output (B, D, T). Returns decoded (B, 1, T*hop)
-        (and info with vq indices/loss, timbre, gradient-reversed content
-        features for the speaker-disentanglement head)."""
-        x = jnp.swapaxes(h, 1, 2)  # (B, T, D)
-        timbre = TimbreExtractor(self.timbre_dim, name="timbre")(h)
-
-        quantized = jnp.zeros_like(x)
-        residual = x
-        losses = 0.0
-        indices = []
-        for q in range(self.num_quantizers):
-            out, idx, loss = FactorizedVQ(
-                x.shape[-1], self.codebook_size, name=f"fvq_{q}")(residual)
-            quantized = quantized + out
-            residual = residual - jax.lax.stop_gradient(out)
-            losses = losses + loss
-            indices.append(idx)
-
-        # speaker disentanglement: reverse gradients into the content path
-        content_rev = gradient_reversal(quantized, self.gr_alpha)
-
-        # condition on timbre (FiLM)
-        cond = nn.Dense(2 * quantized.shape[-1], name="timbre_film")(
-            jax.nn.silu(timbre))
-        scale, shift = jnp.split(cond[:, None, :], 2, axis=-1)
-        z = quantized * (1 + scale) + shift
-
+    def setup(self):
+        D = self.in_channels
+        self.q_prosody = FacodecRVQ(self.vq_num_q_p, D,
+                                    self.codebook_size, self.codebook_dim)
+        self.q_content = FacodecRVQ(self.vq_num_q_c, D,
+                                    self.codebook_size, self.codebook_dim)
+        if self.vq_num_q_r > 0:
+            self.q_residual = FacodecRVQ(self.vq_num_q_r, D,
+                                         self.codebook_size,
+                                         self.codebook_dim)
+        self.timbre_encoder = FacodecTimbreEncoder(
+            hidden=D, num_layers=self.timbre_layers,
+            num_heads=self.timbre_heads)
+        self.timbre_film = nn.Dense(
+            2 * D, name="timbre_film",
+            bias_init=lambda k, s, d=None: jnp.concatenate(
+                [jnp.ones((s[0] // 2,)), jnp.zeros((s[0] - s[0] // 2,))]))
+        self.f0_head = CNNLSTMHead(1, num_heads=2)
+        self.phone_head = CNNLSTMHead(self.phone_classes, num_heads=1)
+        if self.use_gr_content_f0:
+            self.content_f0_head = CNNLSTMHead(1, num_heads=2)
+        if self.use_gr_prosody_phone:
+            self.prosody_phone_head = CNNLSTMHead(self.phone_classes,
+                                                  num_heads=1)
+        if self.vq_num_q_r > 0 and self.use_gr_residual_f0:
+            self.res_f0_head = CNNLSTMHead(1, num_heads=2)
+        if self.vq_num_q_r > 0 and self.use_gr_residual_phone:
+            self.res_phone_head = CNNLSTMHead(self.phone_classes,
+                                              num_heads=1)
+        if self.use_gr_x_timbre:
+            assert self.num_speakers > 0, (
+                "x-timbre GR head needs num_speakers")
+            self.x_timbre_head = CNNLSTMHead(self.num_speakers,
+                                             num_heads=1, global_pred=True)
+        # the upsampling stack (shared by __call__ and decode_with_timbre)
         d = self.ngf * (2 ** len(self.up_ratios))
-        z = WNConv1d(d, 7, padding=3, name="stem")(z)
+        self.dec_stem = WNConv1d(d, 7, padding=3, name="dec_stem")
+        blocks = []
         for i, s in enumerate(self.up_ratios):
             d //= 2
-            z = FACodecDecoderBlock(d, s, name=f"block_{i}")(z)
-        z = AliasFreeActivation1d(d, name="act")(z)
-        z = WNConv1d(1, 7, padding=3, use_bias=False, name="head")(z)
-        audio = jnp.tanh(jnp.swapaxes(z, 1, 2))
+            blocks.append(FACodecDecoderBlock(d, int(s),
+                                              name=f"dec_block_{i}"))
+        self.dec_blocks = blocks
+        self.dec_act = AliasFreeActivation1d(d, name="dec_act")
+        self.dec_head = WNConv1d(1, 7, padding=3, use_bias=False,
+                                 name="dec_head")
+
+    @property
+    def num_quantizers(self) -> int:
+        return self.vq_num_q_p + self.vq_num_q_c + self.vq_num_q_r
+
+    def quantize(self, x: Array, n_quantizers: Optional[int] = None):
+        """x: (B, T, D) NTC. Returns (out_sum, codes (nq_total, B, T),
+        losses (nq_total,), [q_p, q_c, (q_r)] per-group sums)
+        (reference: facodec.py:410-448)."""
+        qp, cp, lp = self.q_prosody(x, n_quantizers)
+        qc, cc, lc = self.q_content(x, n_quantizers)
+        outs = qp + qc
+        codes = [cp, cc]
+        losses = [lp, lc]
+        groups = [qp, qc]
+        if self.vq_num_q_r > 0:
+            res_in = x - jax.lax.stop_gradient(qp + qc)
+            qr, cr, lr = self.q_residual(res_in, n_quantizers)
+            outs = outs + qr
+            codes.append(cr)
+            losses.append(lr)
+            groups.append(qr)
+        return (outs, jnp.concatenate(codes, axis=0),
+                jnp.concatenate(losses, axis=0), groups)
+
+    def _decode_core(self, z: Array, spk: Array) -> Array:
+        """FiLM with the speaker embedding, then the upsampling stack
+        (reference: facodec.py:513-556 + the nn.Sequential model)."""
+        D = z.shape[-1]
+        style = self.timbre_film(spk)  # (B, 2D); bias init = (ones|zeros)
+        gamma, beta = style[:, None, :D], style[:, None, D:]
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.var(z, axis=-1, keepdims=True)
+        z = (z - mean) * jax.lax.rsqrt(var + 1e-5)  # LN, no affine
+        z = z * gamma + beta
+        z = self.dec_stem(z)
+        for blk in self.dec_blocks:
+            z = blk(z)
+        z = self.dec_act(z)
+        z = self.dec_head(z)
+        return jnp.tanh(jnp.swapaxes(z, 1, 2))
+
+    def __call__(self, h: Array, *, speaker_embedding: Optional[Array]
+                 = None, n_quantizers: Optional[int] = None,
+                 train: bool = False, return_info: bool = False):
+        """h: encoder output (B, D, T) -> decoded (B, 1, T*hop).
+
+        With ``return_info``: also a dict with per-group codes/losses, the
+        pooled speaker embedding, F0/uv/phone predictions and any enabled
+        gradient-reversal head outputs. ``train`` enables the random
+        residual-group mask (reference: facodec.py:515-540; needs an
+        ``rvq_mask`` rng)."""
+        x = jnp.swapaxes(h, 1, 2)  # (B, T, D)
+        _, codes, losses, groups = self.quantize(x, n_quantizers)
+
+        spk_from_x = jnp.mean(self.timbre_encoder(x), axis=1)
+        spk = (spk_from_x if speaker_embedding is None
+               else speaker_embedding)
+
+        info = {"vq_loss": jnp.sum(losses), "vq_losses": losses,
+                "indices": jnp.moveaxis(codes, 0, -1),  # (B, T, nq)
+                "codes": codes, "spk_embs": spk_from_x}
+
+        # supervision + disentanglement heads (facodec.py:477-511)
+        f0, uv = self.f0_head(groups[0])
+        info["f0"], info["uv"] = f0[..., 0], uv[..., 0]
+        (info["phone"],) = self.phone_head(groups[1])
+        if self.use_gr_prosody_phone:
+            (info["prosody_phone"],) = self.prosody_phone_head(
+                gradient_reversal(groups[0], self.gr_alpha))
+        if self.use_gr_content_f0:
+            cf0, cuv = self.content_f0_head(
+                gradient_reversal(groups[1], self.gr_alpha))
+            info["content_f0"], info["content_uv"] = \
+                cf0[..., 0], cuv[..., 0]
+        if self.vq_num_q_r > 0 and self.use_gr_residual_f0:
+            rf0, ruv = self.res_f0_head(
+                gradient_reversal(groups[2], self.gr_alpha))
+            info["res_f0"], info["res_uv"] = rf0[..., 0], ruv[..., 0]
+        if self.vq_num_q_r > 0 and self.use_gr_residual_phone:
+            (info["res_phone"],) = self.res_phone_head(
+                gradient_reversal(groups[2], self.gr_alpha))
+
+        z = (jax.lax.stop_gradient(groups[0])
+             + jax.lax.stop_gradient(groups[1]))
+        if self.vq_num_q_r > 0:
+            qr = groups[2]
+            if train and self.prob_random_mask_residual > 0:
+                keep = jax.random.bernoulli(
+                    self.make_rng("rvq_mask"),
+                    1.0 - self.prob_random_mask_residual,
+                    (qr.shape[0], 1, 1))
+                qr = qr * keep.astype(qr.dtype)
+            z = z + qr
+
+        if self.use_gr_x_timbre:
+            (info["x_timbre"],) = self.x_timbre_head(
+                gradient_reversal(z, self.gr_alpha))
+
+        audio = self._decode_core(z, spk)
         if return_info:
-            return audio, {
-                "vq_loss": losses,
-                "indices": jnp.stack(indices, axis=-1),
-                "timbre": timbre,
-                "content_reversed": content_rev,
-            }
+            return audio, info
         return audio
+
+    def vq2emb(self, codes: Array) -> Array:
+        """Codes (nq_total, B, T) -> summed embedding (B, D, T)
+        (reference: facodec.py:558-568)."""
+        p, c = self.vq_num_q_p, self.vq_num_q_c
+        out = self.q_prosody.lookup(codes[:p])
+        out = out + self.q_content.lookup(codes[p:p + c])
+        if self.vq_num_q_r > 0 and codes.shape[0] > p + c:
+            out = out + self.q_residual.lookup(codes[p + c:])
+        return jnp.swapaxes(out, 1, 2)
+
+    def decode_with_timbre(self, z: Array, speaker_embedding: Array
+                           ) -> Array:
+        """Voice conversion: decode embedding (B, D, T) under another
+        speaker's embedding (reference: facodec.py:570-578 inference)."""
+        return self._decode_core(jnp.swapaxes(z, 1, 2),
+                                 speaker_embedding)

@@ -133,7 +133,8 @@ def test_facodec_demo_cli(tmp_path):
     rec, fs = read_wav(f"{out_dir}/a_reconstructed.wav")
     assert fs == 16000 and np.asarray(rec).reshape(-1).shape[0] == 3210
     codes = np.load(f"{out_dir}/a_codes.npy")
-    assert codes.shape[-1] == 3 and codes.dtype.kind in "iu"
+    # default grouped depth: 1 prosody + 2 content + 3 residual
+    assert codes.shape[-1] == 6 and codes.dtype.kind in "iu"
 
 
 def test_separate_cli(tmp_path):

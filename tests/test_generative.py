@@ -310,12 +310,35 @@ def test_facodec_roundtrip_and_vq():
     h = enc.apply(pe, x)
     assert h.shape == (1, 16, 32)
     dec = FACodecDecoder(in_channels=16, ngf=8, up_ratios=(4, 2),
-                         num_quantizers=2, codebook_size=32)
+                         vq_num_q_p=1, vq_num_q_c=1, vq_num_q_r=1,
+                         codebook_size=32, timbre_layers=1,
+                         phone_classes=11, use_gr_prosody_phone=True,
+                         use_gr_content_f0=True)
     pd = dec.init(KEY, h, return_info=True)
     audio, info = dec.apply(pd, h, return_info=True)
     assert audio.shape == x.shape
     assert float(info["vq_loss"]) > 0
-    assert info["indices"].shape == (1, 32, 2)
+    assert info["indices"].shape == (1, 32, 3)
+    # supervision + disentanglement heads (facodec.py:477-511)
+    assert info["f0"].shape == info["uv"].shape == (1, 32)
+    assert info["phone"].shape == (1, 32, 11)
+    assert info["prosody_phone"].shape == (1, 32, 11)
+    assert info["content_f0"].shape == (1, 32)
+    assert info["spk_embs"].shape == (1, 16)
+
+    # voice conversion: decode the same codes under a different speaker
+    emb = dec.apply(pd, info["codes"], method=dec.vq2emb)
+    assert emb.shape == h.shape
+    other = jax.random.normal(KEY, (1, 16))
+    vc = dec.apply(pd, emb, other, method=dec.decode_with_timbre)
+    assert vc.shape == x.shape
+    assert not np.allclose(np.asarray(vc), np.asarray(audio))
+
+    # random residual masking path needs the rvq_mask rng
+    audio_tr = dec.apply(pd, h, train=True,
+                         rngs={"rvq_mask": jax.random.PRNGKey(1)})
+    assert audio_tr.shape == x.shape
+
     g = jax.grad(lambda z: jnp.sum(gradient_reversal(z, 3.0) * 2.0))(
         jnp.ones((2,)))
     np.testing.assert_allclose(np.asarray(g), -6.0)
