@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("--out-dir", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--sampler-N", type=int, default=30)
+    p.add_argument("--sampler", choices=("pc", "ab2"), default="pc",
+                   help="'ab2' = 2nd-order multistep, one score eval "
+                        "per step (see docs/nfe_study.json before "
+                        "trading NFE for quality)")
     p.add_argument("--snr", type=float, default=0.5)
     p.add_argument("--corrector-steps", type=int, default=1)
     p.add_argument("--limit", type=int, default=None)
@@ -60,6 +64,10 @@ def main(argv=None):
     mix0, tgt0 = ds[0]
 
     if args.latent:
+        if args.sampler != "pc":
+            raise SystemExit(
+                "--sampler ab2 is not wired for the latent path "
+                "(separate_latent follows the reference 'ald' PC config)")
         from ditsep_tpu.cli.train_diffsep_latent import init_vae_params
         from ditsep_tpu.configs import build_latent_trainer
         trainer = build_latent_trainer(cfg)
@@ -96,9 +104,11 @@ def main(argv=None):
     else:
         sep_p = jax.jit(lambda p, k, mix: trainer.separate(
             p, k, mix, N=args.sampler_N, snr=args.snr,
-            corrector_steps=args.corrector_steps)[0])
+            corrector_steps=args.corrector_steps,
+            sampler=args.sampler)[0])
         sep = lambda k, mix: sep_p(params, k, mix)
-    nfe = args.sampler_N * (args.corrector_steps + 1)
+    nfe = (args.sampler_N if args.sampler == "ab2"
+           else args.sampler_N * (args.corrector_steps + 1))
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),
         batch_size=args.eval_batch_size, nfe=nfe, mesh=mesh,

@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--output", required=True, help="output folder")
     p.add_argument("--params", default=None, help="npz score-model params")
     p.add_argument("--sampler-N", type=int, default=30)
+    p.add_argument("--sampler", choices=("pc", "ab2"), default="pc",
+                   help="'ab2' = 2nd-order multistep, one score eval "
+                        "per step (see docs/nfe_study.json)")
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
@@ -64,7 +67,7 @@ def main(argv=None):
         Path(args.output, f"s{i}").mkdir(parents=True, exist_ok=True)
 
     sep_p = jax.jit(lambda p, k, mix: trainer.separate(
-        p, k, mix, N=args.sampler_N)[0])
+        p, k, mix, N=args.sampler_N, sampler=args.sampler)[0])
     sep = lambda k, mix: sep_p(params, k, mix)
     for f in files:
         mix, in_fs = read_wav(os.path.join(args.input, f))

@@ -77,6 +77,21 @@ def test_evaluate_cli(tmp_path, capsys):
     assert summary["nfe"] == 4
 
 
+def test_evaluate_cli_ab2(tmp_path):
+    """--sampler ab2: one score eval per step -> nfe == N (the opt-in
+    reduced-NFE path studied in docs/nfe_study.json)."""
+    from ditsep_tpu.cli.evaluate import main
+    out = str(tmp_path / "results")
+    main(["--config", "diffsep", "--synthetic", "--out-dir", out,
+          "--sampler", "ab2", "--sampler-N", "3", "--limit", "2",
+          "--eval-batch-size", "2", "--synthetic-len-s", "0.5",
+          "--override", *TINY_WAVEFORM])
+    summary = json.load(open(f"{out}/librimix_test_summary.json"))
+    assert summary["number"] == 2
+    assert summary["nfe"] == 3
+    assert np.isfinite(summary["si_sdr"])
+
+
 def test_evaluate_cli_latent(tmp_path):
     """The evaluate_latent equivalent: encode -> latent PC sample ->
     decode -> metrics (reference: src/evaluate_latent.py)."""
