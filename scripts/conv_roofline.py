@@ -49,7 +49,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 B = int(os.environ.get("BENCH_BATCH", "16"))
 H, W, C = 576, 256, 128
-K = int(os.environ.get("CONV_STACK", "10"))  # convs per timed program
+K = int(os.environ.get("CONV_STACK", "30"))  # convs per timed program
 REPS = int(os.environ.get("BENCH_REPS", "5"))
 DTYPE = jnp.bfloat16
 PEAK_TFLOPS = 197.0  # v5e bf16
@@ -58,13 +58,22 @@ CONV_FLOPS = 2.0 * B * H * W * C * C * 9  # one 3x3 conv fwd
 
 
 def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Median wall time of ``fn(*args, eps)`` forced to completion.
+
+    Two hazards the first version of this harness hit on the tunneled
+    axon backend: (a) identical args across reps let reps 2+ return in
+    ~40 us -- far below the ~35 ms dispatch floor, i.e. without touching
+    the device -- so every rep perturbs the first arg with a distinct
+    ``eps`` scalar; (b) ``block_until_ready`` alone proved insufficient
+    to fence execution, so the result (a scalar: every timed fn reduces
+    its full output, which also blocks dead-code elimination) is fetched
+    to the host with ``jax.device_get``."""
+    jax.device_get(fn(*args, jnp.zeros((), DTYPE)))  # warmup/compile
     ts = []
-    for _ in range(REPS):
+    for i in range(REPS):
+        eps = jnp.asarray(1e-6 * (i + 1), DTYPE)
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.device_get(fn(*args, eps))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -92,28 +101,39 @@ def main():
 
     # 1. baseline: stack of K NHWC 3x3 convs
     @jax.jit
-    def conv_stack(x, w):
+    def conv_stack(x, w, eps):
         def body(h, _):
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), "SAME", dimension_numbers=dn_nhwc)
             return h, None
-        h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        h, _ = jax.lax.scan(body, x + eps, None, length=K)
+        return jnp.sum(h.astype(jnp.float32))
 
-    rows.append(report("nhwc_baseline", timed(conv_stack, x, w33)))
+    # dispatch floor: the cheapest possible jitted call over the tunnel;
+    # stack times are reported with this floor subtracted
+    @jax.jit
+    def _nop(eps):
+        return eps + 1.0
+
+    floor = timed(_nop)
+    rows.append({"variant": "dispatch_floor", "ms": round(floor * 1e3, 2),
+                 "note": "empty jitted call; subtracted from stacks"})
+
+    rows.append(report("nhwc_baseline", timed(conv_stack, x, w33) - floor))
 
     # 1b. f32 accumulation
     @jax.jit
-    def conv_stack_f32acc(x, w):
+    def conv_stack_f32acc(x, w, eps):
         def body(h, _):
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), "SAME", dimension_numbers=dn_nhwc,
                 preferred_element_type=jnp.float32).astype(DTYPE)
             return h, None
-        h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        h, _ = jax.lax.scan(body, x + eps, None, length=K)
+        return jnp.sum(h.astype(jnp.float32))
 
-    rows.append(report("nhwc_f32_accum", timed(conv_stack_f32acc, x, w33)))
+    rows.append(report("nhwc_f32_accum",
+                       timed(conv_stack_f32acc, x, w33) - floor))
 
     # 1c. NCHW layout
     xn = jnp.transpose(x, (0, 3, 1, 2))
@@ -122,15 +142,15 @@ def main():
         xn.shape, wn.shape, ("NCHW", "OIHW", "NCHW"))
 
     @jax.jit
-    def conv_stack_nchw(x, w):
+    def conv_stack_nchw(x, w, eps):
         def body(h, _):
             h = jax.lax.conv_general_dilated(
                 h, w, (1, 1), "SAME", dimension_numbers=dn_nchw)
             return h, None
-        h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        h, _ = jax.lax.scan(body, x + eps, None, length=K)
+        return jnp.sum(h.astype(jnp.float32))
 
-    rows.append(report("nchw_layout", timed(conv_stack_nchw, xn, wn)))
+    rows.append(report("nchw_layout", timed(conv_stack_nchw, xn, wn) - floor))
 
     # 2. MXU ceiling: same per-sample FLOPs as one GEMM (im2col patches
     #    prebuilt, so only the matmul is in the loop). B=4 slice keeps the
@@ -141,15 +161,15 @@ def main():
     gemm_flops = 2.0 * Bg * H * W * C * C * 9
 
     @jax.jit
-    def gemm_stack(p, w):
-        def body(acc, _):
-            y = p @ w  # (BgHW, C)
-            return acc + jnp.sum(y[:1]), None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), DTYPE), None, length=K)
-        return acc
+    def gemm_stack(p, w, eps):
+        def body(p, _):
+            y = p @ w  # (BgHW, C): the full product feeds the next step
+            return jnp.tile(y, (1, 9)) * 0.05, None
+        p, _ = jax.lax.scan(body, p + eps, None, length=K)
+        return jnp.sum(p.astype(jnp.float32))
 
-    rows.append(report("gemm_ceiling_same_flops", timed(gemm_stack,
-                                                        patches, wmat),
+    rows.append(report("gemm_ceiling_same_flops",
+                       timed(gemm_stack, patches, wmat) - floor,
                        flops_per_conv=gemm_flops,
                        note=f"pure MXU GEMM, conv FLOPs, B={Bg}"))
 
@@ -157,8 +177,9 @@ def main():
     xg = x[:Bg]
 
     @jax.jit
-    def im2col_stack(x, w):
+    def im2col_stack(x, w, eps):
         wm = w.reshape(9 * C, C)
+        x = x + eps
 
         def body(h, _):
             p = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -168,9 +189,10 @@ def main():
             h = (cols.reshape(-1, 9 * C) @ wm).reshape(Bg, H, W, C)
             return h, None
         h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        return jnp.sum(h.astype(jnp.float32))
 
-    rows.append(report("im2col_gemm_conv", timed(im2col_stack, xg, w33),
+    rows.append(report("im2col_gemm_conv",
+                       timed(im2col_stack, xg, w33) - floor,
                        flops_per_conv=gemm_flops, note=f"B={Bg}"))
 
     # 4. space-to-batch on the frame axis (S slabs, 1-row halo)
@@ -178,7 +200,9 @@ def main():
     hs = H // S
 
     @jax.jit
-    def s2b_stack(x, w):
+    def s2b_stack(x, w, eps):
+        x = x + eps
+
         def body(h, _):
             p = jnp.pad(h, ((0, 0), (1, 1), (0, 0), (0, 0)))
             slabs = jnp.stack([
@@ -189,9 +213,9 @@ def main():
                 dimension_numbers=dn_nhwc)  # valid on H halo, same on W
             return y.reshape(B, S * hs, W, C), None
         h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        return jnp.sum(h.astype(jnp.float32))
 
-    rows.append(report("space_to_batch_h4", timed(s2b_stack, x, w33)))
+    rows.append(report("space_to_batch_h4", timed(s2b_stack, x, w33) - floor))
 
     # 5. separable-cost probe (1x3 then 3x1; different math, ~2/3 FLOPs
     #    per conv pair -> report at its own FLOP count)
@@ -199,7 +223,9 @@ def main():
     w31 = jax.random.normal(key, (3, 1, C, C), DTYPE) * 0.05
 
     @jax.jit
-    def sep_stack(x, wa, wb):
+    def sep_stack(x, wa, wb, eps):
+        x = x + eps
+
         def body(h, _):
             h = jax.lax.conv_general_dilated(
                 h, wa, (1, 1), "SAME", dimension_numbers=dn_nhwc)
@@ -207,10 +233,11 @@ def main():
                 h, wb, (1, 1), "SAME", dimension_numbers=dn_nhwc)
             return h, None
         h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        return jnp.sum(h.astype(jnp.float32))
 
     sep_flops = 2.0 * B * H * W * C * C * 6
-    rows.append(report("sep_1x3_3x1_probe", timed(sep_stack, x, w13, w31),
+    rows.append(report("sep_1x3_3x1_probe",
+                       timed(sep_stack, x, w13, w31) - floor,
                        flops_per_conv=sep_flops,
                        note="NOT equivalent math; narrow-kernel probe"))
 
@@ -223,18 +250,22 @@ def main():
     kfir = (kfir / kfir.sum()).astype(jnp.float32)
 
     @jax.jit
-    def fir_stack(x):
+    def fir_stack(x, eps):
         def body(h, _):
             y = upfirdn2d(h.astype(jnp.float32), kfir, down=2,
                           pad=(1, 1))
-            return h, jnp.sum(y[:1, :1])
-        _, ys = jax.lax.scan(body, x, None, length=K)
-        return ys
+            # scalar feedback keeps the carry evolving (no hoisting) and
+            # consumes the full output; the broadcast add costs one extra
+            # HBM pass over h per iteration (noted)
+            return h + jnp.mean(y).astype(h.dtype), None
+        h, _ = jax.lax.scan(body, x + eps, None, length=K)
+        return jnp.sum(h.astype(jnp.float32))
 
-    fir_t = timed(fir_stack, x)
+    fir_t = timed(fir_stack, x) - floor
     fir_row = {"variant": "fir_down2_chain",
                "ms_per_op": round(fir_t / K * 1e3, 3),
-               "note": "upfirdn composite, down=2, (B,576,256,128)"}
+               "note": "upfirdn composite, down=2, (B,576,256,128); "
+                       "includes one extra HBM pass for the carry update"}
     print(json.dumps(fir_row), flush=True)
     rows.append(fir_row)
 
@@ -250,8 +281,9 @@ def main():
     mix = jax.random.normal(key, (B, 1, t_len), DTYPE)
     tvec = jnp.full((B,), 0.5, DTYPE)
     params = jax.jit(model.init)(key, xt, tvec, mix)
-    score = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c))
-    score_t = timed(lambda: score(params, xt, tvec, mix))
+    score = jax.jit(lambda p, a, b, c, eps: jnp.sum(
+        model.apply(p, a + eps, b, c).astype(jnp.float32)))
+    score_t = timed(lambda eps: score(params, xt, tvec, mix, eps)) - floor
     # the two full-res levels hold 4 resblocks x 2 convs + skips ~ 10
     # convs of the dominant shape (plus up/down/pyramid); round-2 depth
     # ablation attributes ~95% of the call to them
