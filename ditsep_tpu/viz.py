@@ -113,6 +113,96 @@ def latent_pca_point_cloud(latents: np.ndarray, n_points: int = 2000):
     return fig
 
 
+def power_to_db(spec: np.ndarray, amin: float = 1e-10,
+                top_db: float = 80.0) -> np.ndarray:
+    """Power spectrogram -> dB with an 80 dB floor below the peak
+    (reference: aeiou.py:164-172 power_to_db)."""
+    log_spec = 10.0 * np.log10(np.maximum(amin, np.asarray(spec)))
+    return np.maximum(log_spec, log_spec.max() - top_db)
+
+
+def _mel_filterbank(fs: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """HTK-scale, slaney-normalized mel filterbank (n_mels, n_fft//2+1)
+    (matches the reference's torchaudio MelSpectrogram settings,
+    aeiou.py:174-192: norm='slaney', mel_scale='htk')."""
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+    mel2hz = lambda m: 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    n_freqs = n_fft // 2 + 1
+    freqs = np.linspace(0.0, fs / 2, n_freqs)
+    mel_pts = mel2hz(np.linspace(hz2mel(0.0), hz2mel(fs / 2), n_mels + 2))
+    fb = np.zeros((n_mels, n_freqs))
+    for i in range(n_mels):
+        lo, ctr, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (freqs - lo) / max(ctr - lo, 1e-10)
+        down = (hi - freqs) / max(hi - ctr, 1e-10)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+        fb[i] *= 2.0 / (hi - lo)  # slaney area norm
+    return fb
+
+
+def mel_spectrogram(waveform: np.ndarray, power: float = 2.0,
+                    fs: int = 8000, db: bool = False, n_fft: int = 1024,
+                    n_mels: int = 128) -> np.ndarray:
+    """Mel spectrogram array (n_mels, frames) of a mono waveform
+    (reference: aeiou.py:174-192 mel_spectrogram; hop = n_fft // 2)."""
+    from ditsep_tpu.ops import stft
+    import jax.numpy as jnp
+    x = np.asarray(waveform).reshape(1, -1)
+    spec = np.abs(np.asarray(stft(jnp.asarray(x), n_fft, n_fft // 2)[0]))
+    mel = _mel_filterbank(fs, n_fft, n_mels) @ (spec ** power)
+    return power_to_db(mel) if db else mel
+
+
+def audio_spectrogram_image(waveform: np.ndarray, power: float = 2.0,
+                            fs: int = 8000, n_fft: int = 1024,
+                            n_mels: int = 128,
+                            title: str = "MelSpectrogram"):
+    """Mel-spectrogram figure of a waveform
+    (reference: aeiou.py:230-235 audio_spectrogram_image)."""
+    plt = _mpl()
+    mel = mel_spectrogram(waveform, power=power, fs=fs, n_fft=n_fft,
+                          n_mels=n_mels)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(power_to_db(mel), origin="lower", aspect="auto",
+                   cmap="magma")
+    ax.set_ylabel("mel bins (log freq)")
+    ax.set_xlabel("frame")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    return fig
+
+
+def tokens_spectrogram_image(tokens: np.ndarray, title: str = "Embeddings",
+                             symmetric: bool = True,
+                             mark_batches: bool = False,
+                             cmap: str = "coolwarm"):
+    """Embeddings-over-time heatmap, batches unrolled along the time
+    axis (reference: aeiou.py:237-279 tokens_spectrogram_image).
+    tokens: (B, D, T)."""
+    plt = _mpl()
+    z = np.asarray(tokens)
+    b, d, n = z.shape
+    emb = z.transpose(0, 2, 1).reshape(b * n, d)  # (b n) d
+    vmax = np.abs(emb).max() if symmetric else None
+    vmin = -vmax if symmetric else None
+    fig, ax = plt.subplots(figsize=(8, 4))
+    im = ax.imshow(emb.T, origin="lower", aspect="auto",
+                   interpolation="none", cmap=cmap, vmin=vmin, vmax=vmax)
+    if symmetric:
+        ax.set_title(f"{title}\nmin={emb.min():0.4g}, max={emb.max():0.4g}")
+    else:
+        ax.set_title(title)
+    ax.set_ylabel("index")
+    ax.set_xlabel("time frame (samples, in batches)")
+    if mark_batches:
+        ax.vlines(np.arange(b) * n, -10, d + 10, color="black",
+                  linestyle="dashed", linewidth=1)
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    return fig
+
+
 def sde_marginal_evolution_figure(sde, x0: np.ndarray, mix: np.ndarray,
                                   n_t: int = 6):
     """Forward-SDE marginal mean/std over time for a 1-D slice
