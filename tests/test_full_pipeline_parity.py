@@ -241,6 +241,92 @@ def test_full_separation_pipeline_matches_reference():
 
 
 @pytest.mark.slow
+def test_full_separation_pipeline_matches_reference_ouve():
+    """The DiffSepOU family (the 14.408 OUVE checkpoint's path):
+    normalize -> get_pc_sampler("reverse_diffusion", "ald") ->
+    denormalize (reference: src/diffsep.py:1204-1219, non-EDM forward
+    :830 = plain score_model call). OUVESDE.prior_sampling draws with
+    ``torch.randn`` (sdes.py:683-691) and the 'ald' corrector with
+    ``randn_like`` (correctors.py:58-84), so both are patched."""
+    ref_sdes, TorchScore, ref_sep = _reference_modules()
+
+    torch.manual_seed(0)
+    tm = TorchScore(
+        num_sources=2,
+        stft_args={"n_fft": 510, "hop_length": 128, "center": True,
+                   "pad_mode": "constant"},
+        backbone_args={"_target_": "models.diffsep.ncsnpp.NCSNpp",
+                       **{k: list(v) if isinstance(v, tuple) else v
+                          for k, v in MODEL_KW.items()}},
+        transform="exponent", spec_abs_exponent=0.5, spec_factor=0.15)
+    tm.eval()
+    t_sde = ref_sdes.sdes.OUVESDE(theta=1.5, sigma_min=0.05,
+                                  sigma_max=0.5, N=N_STEPS)
+
+    rng = np.random.default_rng(11)
+    mix_np = (rng.standard_normal((1, 1, T_LEN)) * 0.1).astype(np.float32)
+    prior_z = rng.standard_normal((1, 2, T_LEN)).astype(np.float32)
+    corr_z = rng.standard_normal((N_STEPS, 1, 1, 2, T_LEN)).astype(
+        np.float32)
+    pred_z = rng.standard_normal((N_STEPS, 1, 2, T_LEN)).astype(np.float32)
+
+    queue = [prior_z]
+    for i in range(N_STEPS):
+        queue.append(corr_z[i, 0])
+        queue.append(pred_z[i])
+
+    def pop(shape, dtype):
+        z = torch.from_numpy(queue.pop(0)).to(dtype)
+        assert z.shape == torch.Size(shape), (z.shape, shape)
+        return z
+
+    orig_randn_like, orig_randn = torch.randn_like, torch.randn
+
+    mix_t = torch.from_numpy(mix_np)
+    (mix_n, _), mean, std = ref_sep.normalize_batch((mix_t, None))
+    sampler = ref_sdes.get_pc_sampler(
+        "reverse_diffusion", "ald", sde=t_sde, score_fn=tm, y=mix_n,
+        denoise=True, eps=T_EPS, snr=SNR, corrector_steps=1)
+    torch.randn_like = lambda x, *a, **k: pop(x.shape, x.dtype)
+    torch.randn = lambda shape, *a, **k: pop(shape, torch.float32)
+    try:
+        with torch.no_grad():
+            est_t, ns = sampler()
+    finally:
+        torch.randn_like, torch.randn = orig_randn_like, orig_randn
+    assert not queue, f"{len(queue)} unconsumed noise draws"
+    assert ns == N_STEPS * 2
+    est_t = ref_sep.denormalize_batch(est_t, mean, std).numpy()
+
+    from ditsep_tpu.models import import_params
+    from ditsep_tpu.models.score_models import ScoreModelNCSNpp
+    from ditsep_tpu.sdes import OUVESDE
+    from ditsep_tpu.training import DiffSepConfig, DiffSepTrainer
+
+    fm = ScoreModelNCSNpp(num_sources=2, n_fft=510, hop_length=128,
+                          transform="exponent", spec_abs_exponent=0.5,
+                          spec_factor=0.15, **MODEL_KW)
+    key = jax.random.PRNGKey(0)
+    variables = fm.init(key, jnp.zeros((1, 2, T_LEN)), jnp.full((1,), 0.5),
+                        jnp.asarray(mix_np))
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": import_params(variables["params"], state)}
+
+    trainer = DiffSepTrainer(
+        model=fm, sde=OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.5,
+                              N=N_STEPS),
+        cfg=DiffSepConfig(n_speakers=2, t_eps=T_EPS))
+    noise = (prior_z, corr_z, pred_z)
+    sep_jit = jax.jit(lambda p, k, m: trainer.separate(
+        p, k, m, N=N_STEPS, snr=SNR, corrector_steps=1, noise=noise)[0])
+    est_j = np.asarray(sep_jit(params, key, jnp.asarray(mix_np)))
+
+    scale = max(np.max(np.abs(est_t)), 1e-6)
+    rel = np.max(np.abs(est_j - est_t)) / scale
+    assert rel < 1e-3, f"waveform relative error {rel}"
+
+
+@pytest.mark.slow
 def test_pc_sampler_noise_injection_matches_prng_free_run():
     """The injectable-noise path must be exactly equivalent to the PRNG
     path when fed the arrays the PRNG would draw -- guards the plumbing
