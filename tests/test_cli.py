@@ -166,3 +166,17 @@ def test_separate_cli(tmp_path):
           out_dir, "--sampler-N", "2", "--override", *TINY_WAVEFORM])
     assert sorted(os.listdir(f"{out_dir}/s0")) == ["u0.wav", "u1.wav"]
     assert sorted(os.listdir(f"{out_dir}/s1")) == ["u0.wav", "u1.wav"]
+
+
+def test_model_info_cli(capsys):
+    """Parameter-inventory probe (reference: scripts/vae_print.py,
+    facodec_print.py, debug.py) -- eval_shape only, so even the flagship
+    config is cheap to inspect."""
+    from ditsep_tpu.cli.model_info import main
+    main(["--config", "diffsep", "--override", *TINY_WAVEFORM])
+    out = capsys.readouterr().out
+    assert "ScoreModelNCSNpp" in out and "parameters" in out
+    assert "sde: MixSDE" in out
+    main(["--facodec", "--length", "1000"])
+    out = capsys.readouterr().out
+    assert "FACodecEncoder" in out and "FACodecDecoder" in out
