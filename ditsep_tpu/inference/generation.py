@@ -90,12 +90,13 @@ def generate_diffusion_cond(
             out = sample(model_fn, noise, k_samp, steps, eta=0.0)
 
     if mask_args is not None and init_latent is not None:
-        # hard inpainting at the end: keep unmasked init content
-        # (soft-mask schedule available via get_bmask inside custom loops,
-        # reference: sampling.py:230-248)
+        # hard inpainting at the end: keep init content where mask=0,
+        # generated content where mask=1 (the per-step soft schedule is
+        # available via get_bmask inside custom loops, reference:
+        # sampling.py:230-248; get_bmask at the LAST step is all-ones by
+        # construction, so the final blend must use the mask itself)
         mask = mask_args["mask"]  # (B, 1, latent_len) in [0, 1]
-        bmask = get_bmask(jnp.asarray(steps - 1), steps, mask)
-        out = init_latent * (1 - bmask) + out * bmask
+        out = init_latent * (1 - mask) + out * mask
 
     if pretransform is not None:
         out = pretransform.decode(out)

@@ -116,8 +116,16 @@ class GenerationApp:
     def generate_conditional(self, cond_inputs: Dict[str, Any],
                              steps: int = 50, cfg_scale: float = 6.0,
                              batch: int = 1, seed: int = 0,
-                             sampler_type: Optional[str] = None
+                             sampler_type: Optional[str] = None,
+                             init_audio: Optional[np.ndarray] = None,
+                             init_noise_level: float = 1.0,
+                             inpaint_mask: Optional[np.ndarray] = None
                              ) -> np.ndarray:
+        """Conditional generation with the reference tab's full knob set
+        (interfaces/diffusion_cond.py): ``init_audio`` +
+        ``init_noise_level`` give audio-prompted variations;
+        ``inpaint_mask`` (1 = regenerate, 0 = keep init content, shaped
+        (latent_len,) or (B, 1, latent_len)) gives inpainting."""
         from ditsep_tpu.inference.generation import generate_diffusion_cond
 
         assert self.routing is not None and self.conditioner is not None
@@ -126,12 +134,24 @@ class GenerationApp:
         def model_apply(x, t, **kw):
             return self.model.apply(self.params, x, t, **kw)
 
+        init = None
+        if init_audio is not None:
+            init = jnp.asarray(_to_mono_batch(np.asarray(init_audio)))
+            init = jnp.broadcast_to(
+                init, (batch, self.io_channels, init.shape[-1]))
+        mask_args = None
+        if inpaint_mask is not None:
+            m = jnp.asarray(inpaint_mask, jnp.float32).reshape(1, 1, -1)
+            mask_args = {"mask": jnp.broadcast_to(
+                m, (batch, 1, m.shape[-1]))}
+
         return np.asarray(generate_diffusion_cond(
             model_apply, jax.random.PRNGKey(seed), steps=int(steps),
             cfg_scale=float(cfg_scale), batch_size=batch,
             sample_size=self.sample_size, io_channels=self.io_channels,
             cond_inputs=self.routing.gather(cond),
-            sampler_type=sampler_type))
+            init_audio=init, init_noise_level=float(init_noise_level),
+            mask_args=mask_args, sampler_type=sampler_type))
 
 
 @dataclasses.dataclass

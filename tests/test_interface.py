@@ -80,3 +80,52 @@ def test_create_ui_gated_without_gradio():
     if importlib.util.find_spec("gradio") is None:
         with pytest.raises(ImportError, match="gradio"):
             create_ui()
+
+
+def test_generation_app_conditional_variations_and_inpaint():
+    """The diffusion_cond tab's full knob set (reference:
+    interfaces/diffusion_cond.py): text/number conditioning + CFG,
+    audio-prompted variations (init_audio + init_noise_level), and
+    inpainting (mask keeps init content where 0)."""
+    from ditsep_tpu.interface import GenerationApp
+    from ditsep_tpu.models.conditioners import (MultiConditioner,
+                                                NumberConditioner)
+    from ditsep_tpu.models.dit import DiffusionTransformer
+    from ditsep_tpu.training.diffusion import CondRouting
+    import jax.numpy as jnp
+
+    mc = MultiConditioner({"secs": NumberConditioner(output_dim=8,
+                                                     max_val=10)})
+    inputs = {"secs": jnp.array([2.0])}
+    cvars = mc.init(KEY, inputs)
+    routing = CondRouting(cross_attn_cond_ids=("secs",))
+    dit = DiffusionTransformer(io_channels=1, embed_dim=32, depth=1,
+                               num_heads=2, cond_token_dim=8)
+    cond = mc(cvars, inputs)
+    params = dit.init(KEY, jnp.zeros((1, 1, 64)), jnp.full((1,), 0.5),
+                      **routing.gather(cond))
+    app = GenerationApp(model=dit, params=params, io_channels=1,
+                        sample_size=64, routing=routing, conditioner=mc,
+                        conditioner_vars=cvars)
+
+    out = app.generate_conditional(inputs, steps=3, cfg_scale=2.0, seed=0)
+    assert out.shape == (1, 1, 64) and np.isfinite(out).all()
+
+    init = np.sin(np.linspace(0, 20, 64)).astype(np.float32)
+    # low init noise -> variation stays close to the prompt audio
+    var = app.generate_conditional(inputs, steps=3, seed=0,
+                                   init_audio=init,
+                                   init_noise_level=0.05)
+    assert var.shape == (1, 1, 64)
+    assert np.abs(var[0, 0] - init).max() < np.abs(out[0, 0] - init).max()
+
+    # inpaint: mask=0 on the first half -> init content preserved there
+    mask = np.ones(64, np.float32)
+    mask[:32] = 0.0
+    inp = app.generate_conditional(inputs, steps=3, seed=0,
+                                   init_audio=init, init_noise_level=1.0,
+                                   inpaint_mask=mask)
+    # the backend peak-normalizes prompt audio (gradio input hygiene)
+    init_n = init / np.abs(init).max()
+    np.testing.assert_allclose(inp[0, 0, :32], init_n[:32], atol=1e-5)
+    assert np.abs(inp[0, 0, 32:] - init_n[32:]).max() > 1e-3
