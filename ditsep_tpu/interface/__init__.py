@@ -7,3 +7,4 @@ from ditsep_tpu.interface.app import (
     spectrogram_preview,
 )
 from ditsep_tpu.interface.gradio_ui import create_ui
+from ditsep_tpu.interface.web import DemoServer
