@@ -199,16 +199,23 @@ class PhonemeConditioner(nn.Module):
 
 
 def clap_encode_host(texts=None, audio=None,
-                     model_name: str = "laion/larger_clap_general"):
+                     model_name: str = "laion/larger_clap_general",
+                     model=None, processor=None):
     """Host-side CLAP text/audio embeddings via the optional transformers
     package (reference: conditioners.py CLAPTextConditioner /
-    CLAPAudioConditioner). Returns (embeddings (B, 1, D), mask)."""
+    CLAPAudioConditioner). Returns (embeddings (B, 1, D), mask).
+
+    ``model``/``processor`` inject pre-built objects (e.g. a
+    locally-cached or random-weight ``ClapModel`` in offline
+    environments); by default both come from ``from_pretrained``."""
     import numpy as np
     import torch
     from transformers import AutoProcessor, ClapModel
 
-    model = ClapModel.from_pretrained(model_name).eval()
-    proc = AutoProcessor.from_pretrained(model_name)
+    model = (model if model is not None
+             else ClapModel.from_pretrained(model_name)).eval()
+    proc = (processor if processor is not None
+            else AutoProcessor.from_pretrained(model_name))
     with torch.no_grad():
         if texts is not None:
             inputs = proc(text=texts, return_tensors="pt", padding=True)
@@ -222,15 +229,21 @@ def clap_encode_host(texts=None, audio=None,
 
 
 def t5_encode_host(texts: List[str], model_name: str = "t5-base",
-                   max_length: int = 128):
+                   max_length: int = 128, tokenizer=None, encoder=None):
     """Host-side T5 text encoding via the optional `transformers` package
     (reference: conditioners.py T5Conditioner). Returns numpy
-    (embeddings, mask) or raises ImportError."""
+    (embeddings, mask) or raises ImportError.
+
+    ``tokenizer``/``encoder`` inject pre-built objects (anything with the
+    HF call contract), so offline environments can supply a local or
+    random-weight encoder instead of downloading ``model_name``."""
     import torch
     from transformers import AutoTokenizer, T5EncoderModel
 
-    tok = AutoTokenizer.from_pretrained(model_name)
-    enc = T5EncoderModel.from_pretrained(model_name).eval()
+    tok = (tokenizer if tokenizer is not None
+           else AutoTokenizer.from_pretrained(model_name))
+    enc = (encoder if encoder is not None
+           else T5EncoderModel.from_pretrained(model_name)).eval()
     batch = tok(texts, truncation=True, max_length=max_length,
                 padding="max_length", return_tensors="pt")
     with torch.no_grad():

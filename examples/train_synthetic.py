@@ -41,6 +41,11 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--save-params", default=None,
                    help="npz path for the trained (EMA) params")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="if >0, run the separation eval every N steps and "
+                        "print an interim JSON line (and snapshot "
+                        "--save-params), so a long run killed mid-way "
+                        "still yields a measurement")
     args = p.parse_args()
 
     cfg = override(CONFIG_FAMILIES["diffsep"](), {
@@ -68,6 +73,30 @@ def main():
     state = trainer.init_state(params)
     step_fn = jax.jit(trainer.train_step)
 
+    # eval harness built up-front so interim (--eval-every) and final
+    # evaluations share one compiled sampler
+    items = [test_ds[j] for j in range(len(test_ds))]
+    mix_b, tgt_b = max_collator(items)
+    mix_j, tgt_j = jnp.asarray(mix_b), jnp.asarray(tgt_b)
+    sep = jax.jit(lambda p, k, m: trainer.separate(
+        p, k, m, N=args.eval_N)[0])
+    mix_rep = jnp.broadcast_to(mix_j, tgt_j.shape)
+    si_mix = float(jnp.mean(si_sdr_pit(mix_rep, tgt_j, zero_mean=True,
+                                       clamp_db=30.0)))
+
+    def run_eval(st):
+        si = {}
+        for name, p in [("params", st.params), ("ema", st.ema_params)]:
+            est = sep(p, jax.random.PRNGKey(1), mix_j)
+            si[name] = float(jnp.mean(si_sdr_pit(
+                est, tgt_j, zero_mean=True, clamp_db=30.0)))
+        return si
+
+    def snapshot(st):
+        if args.save_params:
+            from ditsep_tpu.utils.checkpoint import save_params_npz
+            save_params_npz(args.save_params, st.ema_params["params"])
+
     order = np.arange(len(train_ds))
     t0 = time.time()
     i = 0
@@ -86,23 +115,22 @@ def main():
                 losses.append(loss)
                 print(f"step {i}: loss {loss:.4f} "
                       f"({i/(time.time()-t0):.2f} steps/s)", flush=True)
+            if args.eval_every and i % args.eval_every == 0 \
+                    and i < args.steps:
+                si_i = run_eval(state)
+                snapshot(state)
+                print(json.dumps({
+                    "interim_step": i,
+                    "si_sdr_separated": round(si_i["params"], 3),
+                    "si_sdr_separated_ema": round(si_i["ema"], 3),
+                    "si_sdr_mixture_baseline": round(si_mix, 3),
+                    "improvement_db": round(si_i["params"] - si_mix, 3),
+                }), flush=True)
             if i >= args.steps:
                 break
 
     # -- evaluation: separation SI-SDR vs mixture baseline ------------------
-    items = [test_ds[j] for j in range(len(test_ds))]
-    mix_b, tgt_b = max_collator(items)
-    mix_j, tgt_j = jnp.asarray(mix_b), jnp.asarray(tgt_b)
-    sep = jax.jit(lambda p, k, m: trainer.separate(
-        p, k, m, N=args.eval_N)[0])
-    si = {}
-    for name, p in [("params", state.params), ("ema", state.ema_params)]:
-        est = sep(p, jax.random.PRNGKey(1), mix_j)
-        si[name] = float(jnp.mean(si_sdr_pit(est, tgt_j, zero_mean=True,
-                                             clamp_db=30.0)))
-    mix_rep = jnp.broadcast_to(mix_j, tgt_j.shape)
-    si_mix = float(jnp.mean(si_sdr_pit(mix_rep, tgt_j, zero_mean=True,
-                                       clamp_db=30.0)))
+    si = run_eval(state)
     result = {
         "steps": args.steps,
         "final_loss": losses[-1] if losses else None,
@@ -113,8 +141,7 @@ def main():
     }
     print(json.dumps(result))
     if args.save_params:
-        from ditsep_tpu.utils.checkpoint import save_params_npz
-        save_params_npz(args.save_params, state.ema_params["params"])
+        snapshot(state)
         print(f"saved EMA params to {args.save_params}")
 
 

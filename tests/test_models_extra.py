@@ -268,3 +268,54 @@ def test_composite_metrics_properties():
         float(np.mean(wss(clean, clean, 16000)))
     _, seg = ssnr(clean, noisy, 16000)
     assert np.all(seg <= 35.0) and np.all(seg >= -10.0)
+
+
+def test_t5_encode_host_with_injected_offline_encoder():
+    """t5_encode_host with an injected random-weight T5 encoder + stub
+    tokenizer: the full host-encode -> HostEmbeddingConditioner path runs
+    offline (reference: conditioners.py T5Conditioner — the reference
+    always downloads; here injection makes the path testable without
+    egress)."""
+    pytest.importorskip("transformers")
+    import numpy as np
+    import torch
+    from transformers import T5Config, T5EncoderModel
+
+    from ditsep_tpu.models.conditioners import (HostEmbeddingConditioner,
+                                                t5_encode_host)
+
+    cfg = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+                   num_layers=1, num_heads=2)
+    torch.manual_seed(0)
+    enc = T5EncoderModel(cfg)
+
+    class StubTok:
+        """HF tokenizer call contract: texts -> fixed-length id grid."""
+
+        def __call__(self, texts, truncation, max_length, padding,
+                     return_tensors):
+            ids = torch.zeros((len(texts), max_length), dtype=torch.long)
+            mask = torch.zeros_like(ids)
+            for b, t in enumerate(texts):
+                toks = [(hash(w) % 62) + 2 for w in t.split()][:max_length]
+                ids[b, :len(toks)] = torch.tensor(toks)
+                mask[b, :len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    emb, mask = t5_encode_host(["hello world", "a"], max_length=6,
+                               tokenizer=StubTok(), encoder=enc)
+    assert emb.shape == (2, 6, 16) and mask.shape == (2, 6)
+    assert mask.tolist() == [[True, True] + [False] * 4,
+                             [True] + [False] * 5]
+    assert np.isfinite(emb).all()
+
+    # determinism of the host side under a fixed encoder
+    emb2, _ = t5_encode_host(["hello world", "a"], max_length=6,
+                             tokenizer=StubTok(), encoder=enc)
+    np.testing.assert_array_equal(emb, emb2)
+
+    # projection head consumes the host embeddings
+    he = HostEmbeddingConditioner(output_dim=8)
+    v = he.init(KEY, jnp.asarray(emb))
+    out, m = he.apply(v, jnp.asarray(emb))
+    assert out.shape == (2, 6, 8) and m.shape == (2, 6)
