@@ -317,13 +317,18 @@ class OobleckDecoder(nn.Module):
         return x
 
 
-def vae_sample(key: Array, mean: Array, scale: Array) -> Tuple[Array, Array]:
+def vae_sample(key: Array, mean: Array, scale: Array,
+               noise: Optional[Array] = None) -> Tuple[Array, Array]:
     """Reparameterized sample + KL (reference: bottleneck.py:57-65).
-    KL sums over the channel axis (last here) and averages the rest."""
+    KL sums over the channel axis (last here) and averages the rest.
+    ``noise`` replaces the PRNG draw with an explicit standard-normal
+    array (parity oracles feed the same array to the torch reference)."""
     stdev = jax.nn.softplus(scale) + 1e-4
     var = stdev * stdev
     logvar = jnp.log(var)
-    latents = jax.random.normal(key, mean.shape, mean.dtype) * stdev + mean
+    z = (jax.random.normal(key, mean.shape, mean.dtype)
+         if noise is None else noise.astype(mean.dtype))
+    latents = z * stdev + mean
     kl = jnp.mean(jnp.sum(mean * mean + var - logvar - 1.0, axis=-1))
     return latents, kl
 
@@ -365,16 +370,18 @@ class OobleckVAE(nn.Module):
             dtype=self.dtype)
 
     def encode(self, audio: Array, key: Optional[Array] = None,
-               return_info: bool = False):
-        """(B, C, T) -> (B, D, T/hop). Samples the posterior when a key is
-        given, otherwise returns the mode (mean)."""
+               return_info: bool = False, noise: Optional[Array] = None):
+        """(B, C, T) -> (B, D, T/hop). Samples the posterior when a key or
+        an explicit ``noise`` array ((B, D, Tl), standard normal) is given,
+        otherwise returns the mode (mean)."""
         x = jnp.swapaxes(audio, -1, -2)  # NWC
         h = self.encoder(x)
         mean, scale = jnp.split(h, 2, axis=-1)
-        if key is None:
+        if key is None and noise is None:
             latents, kl = mean, jnp.zeros((), x.dtype)
         else:
-            latents, kl = vae_sample(key, mean, scale)
+            z = None if noise is None else jnp.swapaxes(noise, -1, -2)
+            latents, kl = vae_sample(key, mean, scale, noise=z)
         latents = jnp.swapaxes(latents, -1, -2)
         if return_info:
             return latents, {"kl": kl,

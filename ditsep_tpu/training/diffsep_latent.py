@@ -117,13 +117,21 @@ class LatentDiffSepTrainer(DiffSepTrainer):
     def separate_latent(self, params, vae_params, key, mix, *,
                         latent: bool = False,
                         target_dim: Optional[int] = None,
-                        N: Optional[int] = None, **kwargs):
+                        N: Optional[int] = None, enc_noise=None, **kwargs):
         """Encode -> PC sample ('ald' corrector) -> decode
-        (reference: src/diffsep_latent.py:471-487)."""
+        (reference: src/diffsep_latent.py:471-487). ``enc_noise`` injects
+        the VAE posterior draw ((B, D, Tl) standard normal) for parity
+        oracles; ``kwargs`` reach pc_sample (e.g. its own ``noise``)."""
         cfg = self.cfg
         k_enc, k_samp = jax.random.split(key)
         if not latent:
-            mix, _ = self.encode(vae_params, k_enc, mix, None)
+            if enc_noise is not None:
+                hop = self.vae.downsampling_ratio
+                mix_p = sep_utils.pad_to_hop(mix, hop)
+                mix = self.vae.apply(vae_params, mix_p, noise=enc_noise,
+                                     method=self.vae.encode)[:, None]
+            else:
+                mix, _ = self.encode(vae_params, k_enc, mix, None)
         score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
         est, nfe = pc_sample(
             self.sde, score_fn, k_samp, mix,

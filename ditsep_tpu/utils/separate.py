@@ -74,7 +74,10 @@ def denormalize_batch(x: Array, mean: Array, std: Array) -> Array:
 
 def pad_to_hop(x: Array, hop_length: int) -> Array:
     """Zero-pad the last axis up to a multiple of hop_length
-    (reference: src/utils/torch_utils.py:12-18)."""
+    (reference: src/utils/torch_utils.py:12-18). Intentional deviation:
+    the reference pads a FULL extra hop when the length is already a
+    multiple (pad_len = hop - 0); here that case is a no-op, so exact
+    multiples keep their latent frame count."""
     rem = x.shape[-1] % hop_length
     if rem == 0:
         return x

@@ -327,6 +327,144 @@ def test_full_separation_pipeline_matches_reference_ouve():
 
 
 @pytest.mark.slow
+def test_full_latent_separation_pipeline_matches_reference():
+    """The latent (thesis) pipeline: VAE-encode -> get_pc_sampler(
+    "reverse_diffusion", "ald") in latent space -> VAE-decode, the exact
+    composition of LatentDiffSep.separate (reference:
+    src/diffsep_latent.py:107-128 encode/decode, :471-487 separate).
+
+    Torch side: the spec-faithful _TorchOobleck oracle from
+    test_oobleck (itself parity-tested against our OobleckVAE via the
+    production importer) with VAEBottleneck sampling semantics
+    (reference: src/stable_audio_tools/models/bottleneck.py:71-83), the
+    reference's REAL LatentScoreModelNCSNpp + NCSNpp
+    (src/models/diffsep/score_models.py:140-186), the reference's REAL
+    utils.pad (src/utils/torch_utils.py:12-18) and REAL
+    sdes.get_pc_sampler/OUVESDE. JAX side: our jitted
+    LatentDiffSepTrainer.separate_latent with weights imported through
+    the production importers. Both consume the SAME posterior / prior /
+    corrector / predictor noise arrays, so drift anywhere in
+    pad -> encode -> prior -> ald -> reverse_diffusion -> denoise ->
+    decode fails the waveform comparison."""
+    ref_sdes, _, _ = _reference_modules()
+    from models.diffsep.score_models import LatentScoreModelNCSNpp as TLSM
+    tu = _load_module_from_file("utils.torch_utils",
+                                REF_SRC + "/utils/torch_utils.py")
+
+    from test_oobleck import CH, CM, LD, ST, _TorchOobleck
+
+    hop = 1
+    for s in ST:
+        hop *= s  # 8
+    t_len = 220          # pads to 224 -> 28 latent frames
+    lat_kw = dict(nf=16, ch_mult=(1, 2), num_res_blocks=2,
+                  attn_resolutions=(2,), image_size=LD, centered=True)
+
+    # --- torch reference components ---
+    torch.manual_seed(0)
+    tvae = _TorchOobleck().eval()
+    tlsm = TLSM(
+        num_sources=2, max_latent_length=16,
+        backbone_args={"_target_": "models.diffsep.ncsnpp.NCSNpp",
+                       **{k: list(v) if isinstance(v, tuple) else v
+                          for k, v in lat_kw.items()}})
+    tlsm.eval()
+    t_sde = ref_sdes.sdes.OUVESDE(theta=1.5, sigma_min=0.96, sigma_max=10.0,
+                                  N=N_STEPS)
+
+    # --- shared inputs + the entire stochastic budget ---
+    rng = np.random.default_rng(23)
+    mix_np = (rng.standard_normal((1, 1, t_len)) * 0.1).astype(np.float32)
+    t_lat = (t_len + hop - 1) // hop * hop // hop  # 28
+    enc_z = rng.standard_normal((1, LD, t_lat)).astype(np.float32)
+    lshape = (1, 2, LD, t_lat)
+    prior_z = rng.standard_normal(lshape).astype(np.float32)
+    corr_z = rng.standard_normal((N_STEPS, 1) + lshape).astype(np.float32)
+    pred_z = rng.standard_normal((N_STEPS,) + lshape).astype(np.float32)
+
+    # --- torch pipeline, composed per diffsep_latent.py:107-128,471-487 ---
+    with torch.no_grad():
+        mix_p = tu.pad(torch.from_numpy(mix_np), hop)      # :108
+        h = tvae.encoder.layers(mix_p)
+        mean, scale = h.chunk(2, dim=1)                    # bottleneck.py:71
+        stdev = torch.nn.functional.softplus(scale) + 1e-4
+        lat = mean + stdev * torch.from_numpy(enc_z)       # reparam sample
+        mix_lat = lat.unsqueeze(1)                         # :109
+
+    queue = [prior_z]
+    for i in range(N_STEPS):
+        queue.append(corr_z[i, 0])
+        queue.append(pred_z[i])
+
+    def pop(shape, dtype):
+        z = torch.from_numpy(queue.pop(0)).to(dtype)
+        assert z.shape == torch.Size(shape), (z.shape, shape)
+        return z
+
+    sampler = ref_sdes.get_pc_sampler(
+        "reverse_diffusion", "ald", sde=t_sde, score_fn=tlsm, y=mix_lat,
+        denoise=True, eps=T_EPS, snr=SNR, corrector_steps=1)
+    orig_randn_like, orig_randn = torch.randn_like, torch.randn
+    torch.randn_like = lambda x, *a, **k: pop(x.shape, x.dtype)
+    torch.randn = lambda shape, *a, **k: pop(shape, torch.float32)
+    try:
+        with torch.no_grad():
+            est_lat, ns = sampler()
+    finally:
+        torch.randn_like, torch.randn = orig_randn_like, orig_randn
+    assert not queue and ns == N_STEPS * 2
+    with torch.no_grad():                                  # decode :120-128
+        b, n, d, sl = est_lat.shape
+        est_t = tvae.decode(est_lat.reshape(b * n, d, sl)).reshape(
+            b, n, -1).numpy()
+
+    # --- our pipeline: import both weight sets, jit separate_latent ---
+    from ditsep_tpu.models import import_params
+    from ditsep_tpu.models.oobleck import OobleckVAE
+    from ditsep_tpu.models.score_models import LatentScoreModelNCSNpp
+    from ditsep_tpu.models.torch_import import import_oobleck_params
+    from ditsep_tpu.sdes import OUVESDE
+    from ditsep_tpu.training import DiffSepConfig
+    from ditsep_tpu.training.diffsep_latent import LatentDiffSepTrainer
+
+    fvae = OobleckVAE(in_channels=1, out_channels=1, channels=CH,
+                      c_mults=CM, strides=ST, latent_dim=LD)
+    audio0 = jnp.zeros((1, 1, t_len + (hop - t_len % hop)))
+    vvars = fvae.init(jax.random.PRNGKey(0), audio0)
+    vstate = {k: v.detach().numpy() for k, v in tvae.state_dict().items()
+              if "parametrizations" not in k}
+    vae_params = {"params": import_oobleck_params(
+        vvars["params"], vstate, n_blocks=len(ST))}
+
+    flsm = LatentScoreModelNCSNpp(num_sources=2, max_latent_length=16,
+                                  **lat_kw)
+    svars = flsm.init(jax.random.PRNGKey(1),
+                      jnp.zeros(lshape), jnp.full((1,), 0.5),
+                      jnp.zeros((1, 1, LD, t_lat)))
+    sstate = {k: v.detach().numpy() for k, v in tlsm.state_dict().items()}
+    params = {"params": import_params(svars["params"], sstate)}
+
+    trainer = LatentDiffSepTrainer(
+        model=flsm,
+        sde=OUVESDE(theta=1.5, sigma_min=0.96, sigma_max=10.0, N=N_STEPS),
+        cfg=DiffSepConfig(n_speakers=2, t_eps=T_EPS, sampler_N=N_STEPS,
+                          sampler_snr=SNR, sampler_corrector_steps=1),
+        vae=fvae)
+    noise = (prior_z, corr_z, pred_z)
+    sep_jit = jax.jit(lambda p, vp, k, m: trainer.separate_latent(
+        p, vp, k, m, N=N_STEPS, enc_noise=jnp.asarray(enc_z),
+        noise=noise)[0])
+    est_j = np.asarray(sep_jit(params, vae_params, jax.random.PRNGKey(2),
+                               jnp.asarray(mix_np)))
+
+    # --- waveform-level agreement ---
+    assert est_j.shape == est_t.shape
+    scale_ = max(np.max(np.abs(est_t)), 1e-6)
+    rel = np.max(np.abs(est_j - est_t)) / scale_
+    assert rel < 1e-3, f"waveform relative error {rel}"
+
+
+@pytest.mark.slow
 def test_pc_sampler_noise_injection_matches_prng_free_run():
     """The injectable-noise path must be exactly equivalent to the PRNG
     path when fed the arrays the PRNG would draw -- guards the plumbing
