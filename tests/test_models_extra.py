@@ -319,3 +319,58 @@ def test_t5_encode_host_with_injected_offline_encoder():
     v = he.init(KEY, jnp.asarray(emb))
     out, m = he.apply(v, jnp.asarray(emb))
     assert out.shape == (2, 6, 8) and m.shape == (2, 6)
+
+
+def test_clap_encode_host_with_injected_offline_model():
+    """clap_encode_host with an injected random-weight tiny ClapModel +
+    stub processor: the host CLAP text path runs offline (reference:
+    conditioners.py CLAPTextConditioner — the reference always downloads
+    laion weights; injection makes the glue testable without egress)."""
+    pytest.importorskip("transformers")
+    import numpy as np
+    import torch
+    from transformers import ClapConfig, ClapModel
+
+    from ditsep_tpu.models.conditioners import (HostEmbeddingConditioner,
+                                                clap_encode_host)
+
+    cfg = ClapConfig(
+        text_config=dict(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=32, projection_dim=8),
+        audio_config=dict(spec_size=64, patch_size=4, window_size=4,
+                          hidden_size=16, depths=[1, 1],
+                          num_attention_heads=[2, 2], num_mel_bins=16,
+                          patch_embeds_hidden_size=8, projection_dim=8),
+        projection_dim=8)
+    torch.manual_seed(0)
+    model = ClapModel(cfg)
+
+    class StubProc:
+        """HF processor call contract for the text path."""
+
+        def __call__(self, text=None, return_tensors=None, padding=None,
+                     **kw):
+            ids = torch.zeros((len(text), 6), dtype=torch.long)
+            mask = torch.zeros_like(ids)
+            for b, t in enumerate(text):
+                toks = [(hash(w) % 62) + 2 for w in t.split()][:6]
+                ids[b, :len(toks)] = torch.tensor(toks)
+                mask[b, :len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    emb, mask = clap_encode_host(texts=["a dog barking", "rain"],
+                                 model=model, processor=StubProc())
+    assert emb.shape == (2, 1, 8) and mask.shape == (2, 1)
+    assert mask.all() and np.isfinite(emb).all()
+
+    # deterministic under a fixed injected model
+    emb2, _ = clap_encode_host(texts=["a dog barking", "rain"],
+                               model=model, processor=StubProc())
+    np.testing.assert_array_equal(emb, emb2)
+
+    # projection head consumes CLAP global embeddings ((B, 1, D))
+    he = HostEmbeddingConditioner(output_dim=4)
+    v = he.init(KEY, jnp.asarray(emb))
+    out, m = he.apply(v, jnp.asarray(emb))
+    assert out.shape == (2, 1, 4) and m.shape == (2, 1)
