@@ -183,6 +183,33 @@ class RVQBottleneck:
         return jnp.swapaxes(lat, 1, -1)
 
 
+@dataclasses.dataclass(frozen=True)
+class RVQVAEBottleneck:
+    """VAE reparameterization followed by residual VQ (reference:
+    bottleneck.py:187-219). The incoming latent carries 2*dim channels
+    (mean, scale); a VAE sample is drawn first (KL reported in info),
+    then quantized by the residual VQ."""
+
+    quantizer: ResidualVQ
+
+    def encode(self, variables, key, x, return_info=False):
+        mean, scale = jnp.split(x, 2, axis=1)
+        lat, kl = vae_sample(key, jnp.swapaxes(mean, 1, -1),
+                             jnp.swapaxes(scale, 1, -1))
+        q, idx, loss = self.quantizer.apply(variables, lat)
+        q = jnp.swapaxes(q, 1, -1)
+        info = {"kl": kl, "quantizer_indices": idx,
+                "quantizer_loss": jnp.mean(loss)}
+        return (q, info) if return_info else q
+
+    def decode(self, x):
+        return x
+
+    def decode_tokens(self, variables, codes):
+        lat = self.quantizer.from_indices(variables, codes)
+        return jnp.swapaxes(lat, 1, -1)
+
+
 def _round_ste(z: Array) -> Array:
     return z + jax.lax.stop_gradient(jnp.round(z) - z)
 
@@ -225,6 +252,136 @@ class FSQBottleneck:
         basis = jnp.cumprod(jnp.concatenate(
             [jnp.ones((1,), jnp.int32), lv[:-1]]))
         return jnp.sum(digits * basis, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DitheredFSQ:
+    """Dithered finite scalar quantization (reference: fsq.py:26-131).
+    Parameter-free: levels per latent dim, optionally replicated across
+    ``num_codebooks`` groups along the channel axis. Training draws two
+    per-sample Bernoulli(noise_dropout) masks: the first keeps the
+    continuous value instead of rounding, the second replaces the result
+    with a uniformly dithered value z + U(-.5,.5)*half_l (the reference's
+    quantize, fsq.py:64-77)."""
+
+    levels: Sequence[int]
+    num_codebooks: int = 1
+    noise_dropout: float = 0.5
+    scale: float = 1.0
+
+    @property
+    def codebook_dim(self) -> int:
+        return len(self.levels)
+
+    @property
+    def codebook_size(self) -> int:
+        out = 1
+        for l in self.levels:
+            out *= l
+        return out
+
+    def _half_l(self, dtype) -> Array:
+        lv = jnp.asarray(self.levels, dtype)
+        return self.scale * 2.0 / (lv - 1.0)
+
+    def _scale_and_shift(self, z: Array) -> Array:
+        return (z + self.scale) / self._half_l(z.dtype)
+
+    def _scale_and_shift_inverse(self, li: Array) -> Array:
+        return li * self._half_l(li.dtype) - self.scale
+
+    def quantize(self, key: Optional[Array], z: Array,
+                 training: bool = False, skip_tanh: bool = False) -> Array:
+        """z: (..., B leading, d) already grouped per codebook."""
+        if not skip_tanh:
+            z = jnp.tanh(z)
+        rounded = self._scale_and_shift_inverse(
+            _round_ste(self._scale_and_shift(z)))
+        if not training:
+            return rounded
+        assert key is not None, "training quantize needs a PRNG key"
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = z.shape[0]
+        mshape = (b,) + (1,) * (z.ndim - 1)
+        keep = jax.random.bernoulli(k1, self.noise_dropout, mshape)
+        q = jnp.where(keep, z, rounded)
+        dither = z + (jax.random.uniform(k3, z.shape, z.dtype) - 0.5) \
+            * self._half_l(z.dtype)
+        keep2 = jax.random.bernoulli(k2, self.noise_dropout, mshape)
+        return jnp.where(keep2, q, dither)
+
+    def _basis(self) -> Array:
+        lv = list(self.levels)
+        return jnp.cumprod(jnp.asarray([1] + lv[:-1], jnp.int32))
+
+    def codes_to_indices(self, zhat: Array) -> Array:
+        """zhat: (..., d) rounded codes -> integer indices (...)."""
+        li = jnp.round(self._scale_and_shift(zhat)).astype(jnp.int32)
+        return jnp.sum(li * self._basis(), axis=-1)
+
+    def indices_to_codes(self, indices: Array) -> Array:
+        """indices: (..., c) -> codes (..., c*d)."""
+        li = (indices[..., None] // self._basis()) \
+            % jnp.asarray(self.levels, jnp.int32)
+        codes = self._scale_and_shift_inverse(li.astype(jnp.float32))
+        return codes.reshape(codes.shape[:-2] + (-1,))
+
+    def __call__(self, key: Optional[Array], z: Array,
+                 training: bool = False,
+                 skip_tanh: bool = False) -> Tuple[Array, Array]:
+        """z: (B, N, c*d) -> (codes (B, N, c*d), indices (B, N, c))."""
+        b, n, dim = z.shape
+        assert dim == self.num_codebooks * self.codebook_dim
+        zc = z.reshape(b, n, self.num_codebooks, self.codebook_dim)
+        codes = self.quantize(key, zc.astype(jnp.float32),
+                              training=training, skip_tanh=skip_tanh)
+        # indices are computed from the *rounded* lattice point even when
+        # the training path emitted a dithered/continuous code
+        # (reference computes them from the quantize output; at eval the
+        # two coincide, which is when tokens are consumed)
+        rounded = self._scale_and_shift_inverse(
+            jnp.round(self._scale_and_shift(codes)))
+        idx = self.codes_to_indices(rounded)
+        return codes.reshape(b, n, dim).astype(z.dtype), idx
+
+
+@dataclasses.dataclass(frozen=True)
+class DitheredFSQBottleneck:
+    """(reference: bottleneck.py:378-435). ``levels`` may be an int
+    (replicated over ``dim`` dims) or a per-dim list of length ``dim``."""
+
+    quantizer: DitheredFSQ
+
+    @staticmethod
+    def build(dim: int, levels, num_codebooks: int = 1,
+              dither_inference: bool = True, noise_dropout: float = 0.05):
+        if isinstance(levels, int):
+            qlevels = [levels] * dim
+        else:
+            if len(levels) != dim:
+                raise ValueError(
+                    f"Length of levels list ({len(levels)}) must match "
+                    f"dim ({dim}).")
+            qlevels = list(levels)
+        return DitheredFSQBottleneck(DitheredFSQ(
+            levels=tuple(qlevels), num_codebooks=num_codebooks,
+            noise_dropout=noise_dropout))
+
+    def encode(self, key, x, return_info=False, training=False):
+        z = jnp.swapaxes(x, 1, -1)
+        q, idx = self.quantizer(key, z, training=training)
+        q = jnp.swapaxes(q, 1, -1)
+        info = {"quantizer_indices": jnp.swapaxes(idx, 1, -1)}
+        return (q, info) if return_info else q
+
+    def decode(self, x):
+        return x
+
+    def decode_tokens(self, tokens):
+        """tokens: (B, c, N) -> latents (B, c*d, N)."""
+        codes = self.quantizer.indices_to_codes(
+            jnp.swapaxes(tokens, 1, -1))
+        return jnp.swapaxes(codes, 1, -1)
 
 
 class DACResidualVQ(nn.Module):

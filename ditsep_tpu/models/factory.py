@@ -39,6 +39,21 @@ def create_bottleneck_from_config(cfg: Dict[str, Any]):
         return RVQBottleneck(q)
     if kind == "fsq":
         return FSQBottleneck(levels=tuple(c.get("levels", (8, 5, 5, 5))))
+    if kind == "rvq_vae":
+        # (reference: factory.py:121-136)
+        from ditsep_tpu.models.bottleneck import RVQVAEBottleneck
+        q = ResidualVQ(dim=c.get("dim", 128),
+                       codebook_size=c.get("codebook_size", 1024),
+                       num_quantizers=c.get("num_quantizers", 8))
+        return RVQVAEBottleneck(q)
+    if kind == "dithered_fsq":
+        # (reference: factory.py:150-152, bottleneck.py:378-411)
+        from ditsep_tpu.models.bottleneck import DitheredFSQBottleneck
+        return DitheredFSQBottleneck.build(
+            dim=c["dim"], levels=c["levels"],
+            num_codebooks=c.get("num_codebooks", 1),
+            dither_inference=c.get("dither_inference", True),
+            noise_dropout=c.get("noise_dropout", 0.05))
     if kind in ("dac_rvq", "dac_rvq_vae"):
         # (reference: factory.py:116-151)
         from ditsep_tpu.models.bottleneck import (

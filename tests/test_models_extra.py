@@ -115,6 +115,83 @@ def test_fsq_quantization_levels():
     assert int(tok.min()) >= 0 and int(tok.max()) < 8 * 5 ** 3
 
 
+def test_rvq_vae_bottleneck_encode_and_tokens():
+    """rvq_vae = VAE reparameterization then residual VQ
+    (reference: bottleneck.py:187-219)."""
+    from ditsep_tpu.models.bottleneck import RVQVAEBottleneck
+    from ditsep_tpu.models.factory import create_bottleneck_from_config
+
+    bn = create_bottleneck_from_config(
+        {"type": "rvq_vae",
+         "config": {"dim": 8, "codebook_size": 32, "num_quantizers": 3}})
+    assert isinstance(bn, RVQVAEBottleneck)
+    x = jax.random.normal(KEY, (2, 16, 12))  # 2*dim channels
+    variables = bn.quantizer.init(KEY, jnp.zeros((2, 12, 8)))
+    q, info = bn.encode(variables, KEY, x, return_info=True)
+    assert q.shape == (2, 8, 12)
+    assert float(info["kl"]) > 0 and float(info["quantizer_loss"]) > 0
+    rec = bn.decode_tokens(variables, info["quantizer_indices"])
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(q), atol=1e-5)
+
+
+def test_dithered_fsq_eval_matches_reference_torch():
+    """Eval-mode DitheredFSQ codes/indices match the reference's torch
+    quantizer bit for bit (reference: fsq.py:26-131)."""
+    import os
+    import sys
+    from ditsep_tpu.models.factory import create_bottleneck_from_config
+
+    bn = create_bottleneck_from_config(
+        {"type": "dithered_fsq",
+         "config": {"dim": 4, "levels": [8, 5, 5, 5],
+                    "num_codebooks": 2, "noise_dropout": 0.05}})
+    assert bn.quantizer.codebook_size == 8 * 5 ** 3
+    x = np.random.default_rng(0).normal(size=(2, 8, 24)).astype(np.float32)
+    q, info = bn.encode(None, jnp.asarray(x), return_info=True,
+                        training=False)
+    idx = info["quantizer_indices"]
+    assert q.shape == (2, 8, 24) and idx.shape == (2, 2, 24)
+    # tokens -> codes round-trips to the quantized latents
+    rec = bn.decode_tokens(idx)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(q), atol=1e-5)
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, ref_src)
+    try:
+        import torch
+        from stable_audio_tools.models.fsq import DitheredFSQ as TorchFSQ
+    except ImportError:
+        pytest.skip("torch reference fsq unavailable")
+    finally:
+        sys.path.remove(ref_src)
+    tq = TorchFSQ(levels=[8, 5, 5, 5], num_codebooks=2).eval()
+    with torch.no_grad():
+        codes_t, idx_t = tq(torch.from_numpy(
+            np.swapaxes(x, 1, 2).copy()))
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(q), 1, 2), codes_t.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.swapaxes(np.asarray(idx), 1, 2), idx_t.numpy())
+
+
+def test_dithered_fsq_training_noise_modes():
+    """noise_dropout=1 keeps tanh(z) exactly; noise_dropout=0 emits the
+    uniformly dithered value, bounded by half a lattice step."""
+    from ditsep_tpu.models.bottleneck import DitheredFSQ
+
+    z = jax.random.normal(KEY, (4, 16, 3)) * 2.0
+    keep_all = DitheredFSQ(levels=(5, 5, 5), noise_dropout=1.0)
+    q = keep_all.quantize(jax.random.PRNGKey(1), z, training=True)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(jnp.tanh(z)),
+                               atol=1e-6)
+    dither_all = DitheredFSQ(levels=(5, 5, 5), noise_dropout=0.0)
+    q2 = dither_all.quantize(jax.random.PRNGKey(1), z, training=True)
+    half_l = 2.0 / (5 - 1)
+    assert float(jnp.abs(q2 - jnp.tanh(z)).max()) <= 0.5 * half_l + 1e-6
+
+
 # -------------------------------------------------------------- samplers --
 def test_ddim_converges_to_fixed_target():
     c = 1.5
