@@ -197,6 +197,89 @@ def create_autoencoder_from_config(cfg: Dict[str, Any]):
     )
 
 
+def create_pretransform_from_config(cfg: Dict[str, Any],
+                                    sample_rate: int = None,
+                                    key=None):
+    """Pretransform dispatch (reference: factory.py:32-88
+    create_pretransform_from_config). Functional twist vs the reference:
+    module-backed pretransforms (autoencoder, dac_pretrained) carry
+    explicit params; they are initialized here from ``key``
+    (PRNGKey(0) default) and real weights are swapped in with
+    ``dataclasses.replace(pre, params=imported)`` after running the
+    torch importer. ``audiocraft_pretrained`` is pretrained-weights-only
+    in the reference too (its continuous encode/decode assert False) and
+    stays gated on the absent audiocraft package."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ditsep_tpu.models import pretransforms as pt
+
+    kind = cfg["type"]
+    c = dict(cfg.get("config", {}))
+    enable_grad = cfg.get("enable_grad", False)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if kind == "autoencoder":
+        model = create_autoencoder_from_config(
+            {"sample_rate": sample_rate, "model": c})
+        in_ch = c.get("encoder", {}).get("config", {}).get("in_channels", 1)
+        dummy = jnp.zeros((1, in_ch, 4 * model.downsampling_ratio))
+        params = model.init(key, dummy)  # full call: encoder + decoder
+        return pt.AutoencoderPretransform(
+            model, params, scale=cfg.get("scale", 1.0),
+            chunked=cfg.get("chunked", False))
+    if kind == "wavelet":
+        return pt.WaveletPretransform(
+            channels=c["channels"], levels=c["levels"])
+    if kind == "pqmf":
+        return pt.PQMFPretransform(**c)
+    if kind == "patched":
+        return pt.PatchedPretransform(**c)
+    if kind == "dac_pretrained":
+        from ditsep_tpu.models.bottleneck import DACResidualVQ
+        from ditsep_tpu.models.codecs import (DACDecoderWrapper,
+                                              DACEncoderWrapper)
+
+        # architecture hyperparameters of the published descript codecs
+        # (the reference resolves them by downloading the checkpoint,
+        # reference: pretransforms.py:150-177)
+        model_type = c.get("model_type", "44khz")
+        arch = {
+            "44khz": dict(strides=(2, 4, 8, 8), n_codebooks=9),
+            "24khz": dict(strides=(2, 4, 5, 8), n_codebooks=32),
+            "16khz": dict(strides=(2, 4, 5, 8), n_codebooks=12),
+        }[model_type]
+        enc = DACEncoderWrapper(d_model=64, strides=arch["strides"])
+        latent_dim = 64 * 2 ** len(arch["strides"])
+        dec = DACDecoderWrapper(latent_dim=latent_dim, channels=1536,
+                                rates=tuple(reversed(arch["strides"])))
+        q = DACResidualVQ(input_dim=latent_dim,
+                          n_codebooks=arch["n_codebooks"],
+                          codebook_size=1024, codebook_dim=8)
+        k1, k2, k3 = jax.random.split(key, 3)
+        hop = enc.hop_length
+        dummy = jnp.zeros((1, 2 * hop, 1))
+        enc_p = enc.init(k1, dummy)
+        lat = jnp.zeros((1, 2, latent_dim))
+        q_p = q.init(k2, lat)
+        dec_p = dec.init(k3, lat)
+        return pt.DACPretransform(
+            encoder=enc, decoder=dec, quantizer=q,
+            params={"encoder": enc_p, "decoder": dec_p, "quantizer": q_p},
+            scale=c.get("scale", 1.0),
+            quantize_on_decode=c.get("quantize_on_decode", True),
+            enable_grad=enable_grad)
+    if kind == "audiocraft_pretrained":
+        raise NotImplementedError(
+            "audiocraft_pretrained needs the audiocraft package and its "
+            "pretrained EnCodec weights (absent in this image); the "
+            "reference's continuous encode/decode paths assert False for "
+            "this type too (reference: pretransforms.py:211-275)")
+    raise NotImplementedError(f"Unknown pretransform type: {kind}")
+
+
 def create_diffusion_cond_from_config(cfg: Dict[str, Any]):
     """Build a conditional DiT + routing from the reference diffusion_cond
     JSON schema (reference: models/diffusion.py

@@ -199,3 +199,83 @@ class PQMFPretransform:
             lhs_dilation=(m,),
             dimension_numbers=("NWC", "WIO", "NWC"))
         return y.reshape(b, c, -1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DACPretransform:
+    """TPU-native stand-in for the reference's PretrainedDACPretransform
+    (reference: pretransforms.py:150-209). The reference downloads the
+    pretrained descript-audio-codec and wraps it; downloads are
+    unavailable here, so the same architecture is composed from the
+    in-repo DAC encoder/decoder and DAC residual VQ. Weights come from
+    the torch importer when a DAC checkpoint is on disk; otherwise
+    params are random-init (swap via ``dataclasses.replace(pre,
+    params=...)``). Public layout (B, C, T); discrete tokens (B, Q, Tl)
+    like the reference's ``tokenize``."""
+
+    encoder: Any   # codecs.DACEncoderWrapper
+    decoder: Any   # codecs.DACDecoderWrapper
+    quantizer: Any  # bottleneck.DACResidualVQ
+    params: Any    # {"encoder": .., "decoder": .., "quantizer": ..}
+    scale: float = 1.0
+    quantize_on_decode: bool = True
+    enable_grad: bool = False
+    is_discrete: bool = True
+    io_channels: int = 1
+
+    @property
+    def downsampling_ratio(self) -> int:
+        return self.encoder.hop_length
+
+    @property
+    def encoded_channels(self) -> int:
+        if self.encoder.latent_dim is not None:
+            return self.encoder.latent_dim
+        return self.encoder.d_model * 2 ** len(self.encoder.strides)
+
+    @property
+    def num_quantizers(self) -> int:
+        return self.quantizer.n_codebooks
+
+    @property
+    def codebook_size(self) -> int:
+        return self.quantizer.codebook_size
+
+    def _p(self, name):
+        p = self.params[name]
+        if self.enable_grad:
+            return p
+        return jax.tree.map(jax.lax.stop_gradient, p)
+
+    def encode(self, x: Array) -> Array:
+        """(B, C, T) -> (B, D, Tl); quantizes here unless
+        quantize_on_decode (reference: pretransforms.py:180-192)."""
+        lat = self.encoder.apply(self._p("encoder"),
+                                 jnp.swapaxes(x, -1, -2))
+        if not self.quantize_on_decode:
+            lat = self.quantizer.apply(self._p("quantizer"), lat)[0]
+        return jnp.swapaxes(lat, -1, -2) / self.scale
+
+    def decode(self, z: Array) -> Array:
+        """(B, D, Tl) -> (B, C, T) (reference: pretransforms.py:194-202)."""
+        lat = jnp.swapaxes(z * self.scale, -1, -2)
+        if self.quantize_on_decode:
+            lat = self.quantizer.apply(self._p("quantizer"), lat)[0]
+        y = self.decoder.apply(self._p("decoder"), lat)
+        return jnp.swapaxes(y, -1, -2)
+
+    def tokenize(self, x: Array) -> Array:
+        """(B, C, T) -> integer codes (B, Q, Tl)
+        (reference: pretransforms.py:204-205)."""
+        lat = self.encoder.apply(self._p("encoder"),
+                                 jnp.swapaxes(x, -1, -2))
+        codes = self.quantizer.apply(self._p("quantizer"), lat)[1]
+        return jnp.swapaxes(codes, -1, -2)
+
+    def decode_tokens(self, tokens: Array) -> Array:
+        """codes (B, Q, Tl) -> audio (B, C, T)
+        (reference: pretransforms.py:207-209)."""
+        lat = self.quantizer.from_codes(self._p("quantizer"),
+                                        jnp.swapaxes(tokens, -1, -2))
+        y = self.decoder.apply(self._p("decoder"), lat)
+        return jnp.swapaxes(y, -1, -2)

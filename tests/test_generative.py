@@ -577,3 +577,99 @@ def test_factory_parses_reference_config():
         "autoencoders/oobleck_finetune.json")
     assert vae.latent_dim == 64
     assert vae.downsampling_ratio == 2048
+
+
+def test_create_pretransform_from_config_dispatch():
+    """Pretransform factory covers the reference's six types
+    (reference: factory.py:32-88)."""
+    import dataclasses
+
+    from ditsep_tpu.models.factory import create_pretransform_from_config
+    from ditsep_tpu.models.pretransforms import (
+        AutoencoderPretransform, DACPretransform, PatchedPretransform,
+        PQMFPretransform, WaveletPretransform,
+    )
+
+    assert isinstance(create_pretransform_from_config(
+        {"type": "wavelet", "config": {"channels": 2, "levels": 3,
+                                       "wavelet": "haar"}}),
+        WaveletPretransform)
+    assert isinstance(create_pretransform_from_config(
+        {"type": "pqmf", "config": {"bands": 4, "taps": 64}}),
+        PQMFPretransform)
+    assert isinstance(create_pretransform_from_config(
+        {"type": "patched", "config": {"channels": 1, "patch_size": 4}}),
+        PatchedPretransform)
+    with pytest.raises(NotImplementedError):
+        create_pretransform_from_config(
+            {"type": "audiocraft_pretrained", "config": {}})
+
+    ae = create_pretransform_from_config(
+        {"type": "autoencoder", "scale": 2.0,
+         "config": {
+             "encoder": {"type": "oobleck",
+                         "config": {"in_channels": 1, "channels": 8,
+                                    "latent_dim": 8, "c_mults": [1, 2],
+                                    "strides": [2, 2]}},
+             "decoder": {"type": "oobleck",
+                         "config": {"out_channels": 1, "channels": 8,
+                                    "latent_dim": 4, "c_mults": [1, 2],
+                                    "strides": [2, 2]}},
+             "bottleneck": {"type": "vae"},
+             "latent_dim": 4}},
+        sample_rate=8000)
+    assert isinstance(ae, AutoencoderPretransform)
+    x = jnp.ones((2, 1, 64))
+    z = ae.encode(x)
+    assert z.shape == (2, 4, 16)
+    y = ae.decode(z)
+    assert y.shape == (2, 1, 64)
+
+    # weights are swappable for imported checkpoints
+    ae2 = dataclasses.replace(ae, params=ae.params)
+    assert isinstance(ae2, AutoencoderPretransform)
+
+
+def test_dac_pretransform_token_roundtrip():
+    """The DAC pretransform's quantize/tokenize paths are mutually
+    consistent (reference: pretransforms.py:150-209)."""
+    from ditsep_tpu.models.bottleneck import DACResidualVQ
+    from ditsep_tpu.models.codecs import DACDecoderWrapper, DACEncoderWrapper
+    from ditsep_tpu.models.pretransforms import DACPretransform
+
+    key = jax.random.PRNGKey(0)
+    enc = DACEncoderWrapper(d_model=4, strides=(2, 2))
+    dec = DACDecoderWrapper(latent_dim=16, channels=16, rates=(2, 2))
+    q = DACResidualVQ(input_dim=16, n_codebooks=2, codebook_size=8,
+                      codebook_dim=4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lat = jnp.zeros((1, 4, 16))
+    pre = DACPretransform(
+        encoder=enc, decoder=dec, quantizer=q,
+        params={"encoder": enc.init(k1, jnp.zeros((1, 16, 1))),
+                "decoder": dec.init(k3, lat),
+                "quantizer": q.init(k2, lat)},
+        quantize_on_decode=False)
+    assert pre.downsampling_ratio == 4
+    assert pre.encoded_channels == 16
+    assert pre.num_quantizers == 2 and pre.codebook_size == 8
+
+    x = jax.random.normal(key, (2, 1, 32))
+    z = pre.encode(x)          # already quantized (quantize_on_decode=False)
+    assert z.shape == (2, 16, 8)
+    y = pre.decode(z)
+    assert y.shape == (2, 1, 32) and bool(jnp.isfinite(y).all())
+
+    tok = pre.tokenize(x)
+    assert tok.shape == (2, 2, 8)
+    assert int(tok.min()) >= 0 and int(tok.max()) < 8
+    y_tok = pre.decode_tokens(tok)
+    assert y_tok.shape == (2, 1, 32)
+
+    # quantize-on-decode composes the same end-to-end map as
+    # tokenize -> decode_tokens
+    import dataclasses
+    pre_qod = dataclasses.replace(pre, quantize_on_decode=True)
+    z_cont = pre_qod.encode(x)
+    np.testing.assert_allclose(np.asarray(pre_qod.decode(z_cont)),
+                               np.asarray(y_tok), atol=1e-4)
