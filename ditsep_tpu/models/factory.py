@@ -226,7 +226,9 @@ def create_pretransform_from_config(cfg: Dict[str, Any],
             {"sample_rate": sample_rate, "model": c})
         in_ch = c.get("encoder", {}).get("config", {}).get("in_channels", 1)
         dummy = jnp.zeros((1, in_ch, 4 * model.downsampling_ratio))
-        params = model.init(key, dummy)  # full call: encoder + decoder
+        # full call traces encoder + decoder; jit: eager init dispatches
+        # thousands of tiny ops (slow on 1-vCPU hosts / remote backends)
+        params = jax.jit(model.init)(key, dummy)
         return pt.AutoencoderPretransform(
             model, params, scale=cfg.get("scale", 1.0),
             chunked=cfg.get("chunked", False))
@@ -280,11 +282,16 @@ def create_pretransform_from_config(cfg: Dict[str, Any],
     raise NotImplementedError(f"Unknown pretransform type: {kind}")
 
 
-def create_diffusion_cond_from_config(cfg: Dict[str, Any]):
+def create_diffusion_cond_from_config(cfg: Dict[str, Any],
+                                      include_pretransform: bool = False):
     """Build a conditional DiT + routing from the reference diffusion_cond
     JSON schema (reference: models/diffusion.py
     create_diffusion_cond_from_config). Returns
-    (DiffusionTransformer, CondRouting, conditioner_configs)."""
+    (DiffusionTransformer, CondRouting, conditioner_configs), plus the
+    config's pretransform (built via create_pretransform_from_config, or
+    None) as a fourth element when ``include_pretransform`` — the
+    reference attaches it to the wrapper unconditionally; here it is
+    opt-in because module-backed pretransforms must initialize params."""
     from ditsep_tpu.training.diffusion import CondRouting
 
     model = cfg["model"]
@@ -315,6 +322,11 @@ def create_diffusion_cond_from_config(cfg: Dict[str, Any]):
         prepend_cond_ids=tuple(diff.get("prepend_cond_ids", ())),
     )
     cond_cfgs = model.get("conditioning", {}).get("configs", [])
+    if include_pretransform:
+        pre_cfg = model.get("pretransform")
+        pre = (None if pre_cfg is None else create_pretransform_from_config(
+            pre_cfg, sample_rate=cfg.get("sample_rate")))
+        return dit, routing, cond_cfgs, pre
     return dit, routing, cond_cfgs
 
 

@@ -119,3 +119,51 @@ def test_audio_lm_from_config_pretransform_bottleneck():
     lm, pattern = create_model_from_config(cfg)
     assert lm.n_quantizers == 3 and lm.codebook_size == 32
     assert type(pattern).__name__ == "ParallelPattern"
+
+
+def test_diffusion_cond_include_pretransform():
+    """diffusion_cond configs carry a latent pretransform; the factory
+    builds it on request (reference: models/diffusion.py
+    create_diffusion_cond_from_config attaches model.pretransform).
+    Uses the reference's own ditsep.json schema with the autoencoder
+    shrunk to test size."""
+    import copy
+    import json
+
+    from ditsep_tpu.models.factory import create_diffusion_cond_from_config
+    from ditsep_tpu.models.pretransforms import AutoencoderPretransform
+
+    path = ("/root/reference/src/stable_audio_tools/configs/model_configs/"
+            "separation_diffusion/ditsep.json")
+    with open(path) as f:
+        cfg = json.load(f)
+    cfg = copy.deepcopy(cfg)
+    # keep the schema, shrink the net (full oobleck compiles for minutes
+    # on the 1-vCPU test host)
+    pre_c = cfg["model"]["pretransform"]["config"]
+    for side, dim_key in (("encoder", "latent_dim"), ("decoder", "latent_dim")):
+        c = pre_c[side]["config"]
+        c["channels"] = 4
+        c["c_mults"] = [1, 2]
+        c["strides"] = [2, 2]
+    pre_c["encoder"]["config"]["latent_dim"] = 8
+    pre_c["decoder"]["config"]["latent_dim"] = 4
+    pre_c["latent_dim"] = 4
+    dit, routing, cond_cfgs, pre = create_diffusion_cond_from_config(
+        cfg, include_pretransform=True)
+    assert isinstance(pre, AutoencoderPretransform)
+    assert pre.downsampling_ratio == 4
+    # the conditioning ids of the shipped config survive the round trip
+    assert routing.input_concat_ids or routing.global_cond_ids \
+        or routing.cross_attn_cond_ids or cond_cfgs
+    x = jnp.ones((1, 1, 32))
+    z = pre.encode(x)
+    assert z.shape == (1, 4, 8)
+    assert pre.decode(z).shape == (1, 1, 32)
+
+    # a config with no pretransform returns None for it
+    cfg2 = copy.deepcopy(cfg)
+    del cfg2["model"]["pretransform"]
+    *_, none_pre = create_diffusion_cond_from_config(
+        cfg2, include_pretransform=True)
+    assert none_pre is None
