@@ -518,6 +518,13 @@ def create_discriminator_from_config(cfg, in_channels: int = 1,
 
     if kind == "encodec":
         tup(c, "n_ffts", "hop_lengths")
+        # the shipped configs carry win_lengths == n_ffts (the window our
+        # DiscriminatorSTFT always uses); reject a diverging setting
+        # rather than silently ignore it
+        win = c.pop("win_lengths", None)
+        if win is not None and tuple(win) != tuple(c.get("n_ffts", win)):
+            raise NotImplementedError(
+                "encodec discriminator with win_lengths != n_ffts")
         return MultiScaleSTFTDiscriminator(in_channels=in_channels, **c)
     if kind == "oobleck":
         return OobleckDiscriminator(**c)

@@ -87,6 +87,49 @@ def create_source_mixture(key: Array, reals: Array,
     return source, new_reals
 
 
+def random_inpaint_mask(key: Array, x: Array, max_mask_segments: int = 10,
+                        padding_mask: Optional[Array] = None
+                        ) -> Tuple[Array, Array]:
+    """Static-shape version of the reference's inpainting mask draw
+    (reference: training/diffusion.py:848-895 random_mask): per sample,
+    one of {multi-segment, full, causal} masks, never placed over
+    padding. Returns (masked_input, mask) with mask (B, 1, T),
+    1 = keep / 0 = regenerate for segment masks and the reference's
+    conventions for the other two types. Segments are drawn as
+    ``max_mask_segments`` candidate (start, length) pairs with the first
+    ``num_segments`` active, so the whole draw is shape-static under
+    jit."""
+    b, _, t = x.shape
+    pos = jnp.arange(t)
+    if padding_mask is None:
+        real_len = jnp.full((b,), t, jnp.int32)
+    else:
+        real_len = jnp.maximum(
+            jnp.sum(padding_mask.astype(jnp.int32), axis=-1), 1)
+    k_type, k_nseg, k_len, k_start, k_causal = jax.random.split(key, 5)
+    mask_type = jax.random.randint(k_type, (b,), 0, 3)
+    s = max_mask_segments
+    nseg = jax.random.randint(k_nseg, (b,), 1, s + 1)
+    max_seg = jnp.maximum(real_len[:, None] // nseg[:, None], 1)
+    big = jnp.iinfo(jnp.int32).max
+    seg_len = jax.random.randint(k_len, (b, s), 0, big) % max_seg + 1
+    start = jax.random.randint(k_start, (b, s), 0, big) \
+        % jnp.maximum(real_len[:, None] - seg_len + 1, 1)
+    active = jnp.arange(s)[None, :] < nseg[:, None]
+    in_seg = ((pos[None, None, :] >= start[..., None])
+              & (pos[None, None, :] < (start + seg_len)[..., None])
+              & active[..., None])
+    seg_mask = 1.0 - jnp.any(in_seg, axis=1).astype(x.dtype)  # (B, T)
+    full_mask = jnp.zeros((b, t), x.dtype)
+    causal_len = jax.random.randint(k_causal, (b,), 0, big) % real_len + 1
+    causal_mask = (pos[None, :] < causal_len[:, None]).astype(x.dtype)
+    mt = mask_type[:, None]
+    mask = jnp.where(mt == 0, seg_mask,
+                     jnp.where(mt == 1, full_mask, causal_mask))
+    mask = mask[:, None, :]
+    return x * mask, mask
+
+
 class DiffusionTrainState(flax.struct.PyTreeNode):
     step: Array
     params: Any
@@ -144,6 +187,11 @@ class DiffusionTrainer:
     ema_decay: float = 0.9999
     cfg_dropout_prob: float = 0.1
     routing: Optional[CondRouting] = None
+    # inpainting variant (reference: DiffusionCondInpaintTrainingWrapper
+    # :757-1010): train with a random keep-mask; the masked input and the
+    # mask feed the net through the inpaint_* conditioning ids
+    inpaint: bool = False
+    max_mask_segments: int = 10
 
     def make_optimizer(self):
         return optax.adamw(self.lr, b1=0.9, b2=0.999, weight_decay=1e-3)
@@ -157,10 +205,16 @@ class DiffusionTrainer:
     def loss(self, params, key: Array, x0: Array,
              cond: Optional[Dict[str, Tuple[Array, Array]]] = None,
              padding_mask: Optional[Array] = None) -> Array:
-        k_t, k_z, k_cfg = jax.random.split(key, 3)
+        k_t, k_z, k_cfg, k_inp = jax.random.split(key, 4)
         t = sample_timesteps(k_t, x0.shape[0], self.timestep_sampler)
         noise = jax.random.normal(k_z, x0.shape, x0.dtype)
         noised, target = diffusion_targets(self.objective, x0, noise, t)
+        if self.inpaint:
+            masked_input, mask = random_inpaint_mask(
+                k_inp, x0, self.max_mask_segments, padding_mask)
+            cond = dict(cond or {})
+            cond["inpaint_mask"] = (mask, None)
+            cond["inpaint_masked_input"] = (masked_input, None)
         kwargs: Dict[str, Any] = {}
         if cond is not None and self.routing is not None:
             kwargs = self.routing.gather(cond)

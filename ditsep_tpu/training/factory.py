@@ -1,0 +1,113 @@
+"""Training-wrapper factory.
+
+TPU-native counterpart of the reference's
+create_training_wrapper_from_config (reference:
+src/stable_audio_tools/training/factory.py:5-158): maps a model JSON
+config's `training` block onto the matching functional trainer. The
+reference returns stateful LightningModules; here every trainer is a
+frozen dataclass whose state lives in an explicit TrainState, so this
+factory returns the configured trainer — `init_state`/`train_step`
+drive it. EMA needs no model copies (reference factory.py:15-27's
+double-instantiation hack): EMA params are a tree in the state.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+
+def _opt_overrides(training: Dict[str, Any], group: str) -> Dict[str, Any]:
+    """lr / betas / weight_decay from optimizer_configs[group], matching
+    the reference's AdamW schema (reference: factory.py:44-51 consumers,
+    oobleck_finetune.json training.optimizer_configs)."""
+    out: Dict[str, Any] = {}
+    oc = (training.get("optimizer_configs") or {}).get(group, {})
+    c = oc.get("optimizer", {}).get("config", {})
+    if "lr" in c:
+        out["lr"] = c["lr"]
+    if "betas" in c:
+        out["b1"], out["b2"] = c["betas"]
+    if "weight_decay" in c:
+        out["weight_decay"] = c["weight_decay"]
+    return out
+
+
+def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
+                               key=None):
+    """Dispatch on model_type like the reference factory
+    (reference: training/factory.py:5-158). `model` is whatever
+    models.factory.create_model_from_config returned for this config."""
+    import jax
+
+    model_type = model_config.get("model_type")
+    assert model_type is not None, "model_type must be specified"
+    training = model_config.get("training")
+    assert training is not None, "training config must be specified"
+
+    if model_type == "autoencoder":
+        # (reference: factory.py:12-56 -> AutoencoderTrainingWrapper)
+        from ditsep_tpu.models.discriminators import (
+            create_discriminator_from_config)
+        from ditsep_tpu.training.autoencoder import (
+            AutoencoderLossConfig, AutoencoderTrainer)
+
+        lc = training.get("loss_configs") or {}
+        weights = {}
+        for grp in ("spectral", "time", "bottleneck", "discriminator"):
+            weights.update((lc.get(grp) or {}).get("weights", {}))
+        loss_cfg = AutoencoderLossConfig(
+            mrstft=weights.get("mrstft", 1.0),
+            l1=weights.get("l1", 0.0),
+            kl=weights.get("kl", 1e-4),
+            adversarial=weights.get("adversarial", 0.1),
+            feature_matching=weights.get("feature_matching", 5.0),
+            sample_rate=model_config.get("sample_rate", 8000),
+        )
+        disc_cfg = lc.get("discriminator")
+        disc = (None if disc_cfg is None
+                else create_discriminator_from_config(disc_cfg))
+        return AutoencoderTrainer(
+            vae=model, disc=disc, loss_cfg=loss_cfg,
+            lr=training.get("learning_rate", 1.5e-4),
+            warmup_steps=training.get("warmup_steps", 0),
+            encoder_freeze_on_warmup=training.get(
+                "encoder_freeze_on_warmup", False))
+
+    if model_type in ("diffusion_uncond", "diffusion_cond",
+                      "diffusion_cond_inpaint", "diffusion_prior",
+                      "diffusion_autoencoder"):
+        # (reference: factory.py:57-136 -> Diffusion*TrainingWrapper).
+        # models.factory returns (dit, routing, cond_cfgs) for cond
+        # types and the bare net for uncond; diffusion_prior trains the
+        # same conditioned objective (the mono/dual-mono conditioning
+        # pair is constructed by the data path /
+        # inference.diffusion_prior.stereoize).
+        from ditsep_tpu.training.diffusion import DiffusionTrainer
+
+        routing = None
+        net = model
+        if isinstance(model, tuple):
+            net, routing = model[0], model[1]
+        if model_type == "diffusion_autoencoder":
+            net = getattr(model, "diffusion", net)
+        return DiffusionTrainer(
+            model=net,
+            objective=model_config.get("model", {}).get(
+                "diffusion", {}).get("diffusion_objective", "v"),
+            timestep_sampler=training.get("timestep_sampler", "uniform"),
+            lr=training.get("learning_rate", 1e-4),
+            cfg_dropout_prob=training.get("cfg_dropout_prob", 0.1),
+            routing=routing,
+            inpaint=(model_type == "diffusion_cond_inpaint"),
+            max_mask_segments=training.get("max_mask_segments", 10),
+        )
+
+    if model_type == "lm":
+        # (reference: factory.py:137-155 -> AudioLanguageModelTrainingWrapper)
+        from ditsep_tpu.training.lm import LMTrainer
+
+        lm, pattern = model if isinstance(model, tuple) else (model, None)
+        kw = {"lr": training.get("learning_rate") or 1e-4}
+        kw.update(_opt_overrides(training, "lm"))
+        return LMTrainer(model=lm, pattern=pattern, **kw)
+
+    raise NotImplementedError(f"Unknown model type: {model_type}")

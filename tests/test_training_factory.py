@@ -1,0 +1,164 @@
+"""create_trainer_from_config must map every reference model_type's
+training block onto a working trainer (reference:
+src/stable_audio_tools/training/factory.py:5-158), and the inpaint
+training path must draw valid static-shape masks (reference:
+training/diffusion.py:848-895)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ditsep_tpu.models.factory import create_model_from_config
+from ditsep_tpu.training.factory import create_trainer_from_config
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _tiny_oobleck_model_block():
+    return {
+        "encoder": {"type": "oobleck",
+                    "config": {"in_channels": 1, "channels": 4,
+                               "latent_dim": 8, "c_mults": [1, 2],
+                               "strides": [2, 2]}},
+        "decoder": {"type": "oobleck",
+                    "config": {"out_channels": 1, "channels": 4,
+                               "latent_dim": 4, "c_mults": [1, 2],
+                               "strides": [2, 2]}},
+        "bottleneck": {"type": "vae"},
+        "latent_dim": 4,
+    }
+
+
+def test_autoencoder_trainer_from_config():
+    cfg = {
+        "model_type": "autoencoder",
+        "sample_rate": 8000,
+        "model": _tiny_oobleck_model_block(),
+        "training": {
+            "learning_rate": 1.5e-4,
+            "warmup_steps": 3,
+            "loss_configs": {
+                "spectral": {"weights": {"mrstft": 1.0}},
+                "bottleneck": {"weights": {"kl": 1e-4}},
+                "discriminator": {
+                    "type": "encodec",
+                    "config": {"filters": 4, "n_ffts": [128],
+                               "hop_lengths": [32], "win_lengths": [128]},
+                    "weights": {"adversarial": 0.1,
+                                "feature_matching": 5.0},
+                },
+            },
+        },
+    }
+    model = create_model_from_config(cfg)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.lr == 1.5e-4 and tr.warmup_steps == 3
+    assert tr.disc is not None
+    assert tr.loss_cfg.kl == 1e-4 and tr.loss_cfg.adversarial == 0.1
+
+    reals = jax.random.normal(KEY, (2, 1, 256)) * 0.3
+    vae_params = model.init(KEY, reals)
+    disc_params = tr.disc.init(KEY, reals)
+    state = tr.init_state(vae_params, disc_params)
+    state, m = tr.gen_step(state, KEY, reals, warmed_up=False)
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def test_lm_trainer_from_config_learns():
+    cfg = {
+        "model_type": "lm",
+        "sample_rate": 8000,
+        "model": {
+            "lm": {"type": "continuous_transformer",
+                   "codebook_pattern": "delay",
+                   "config": {"n_quantizers": 2, "codebook_size": 16,
+                              "embed_dim": 32, "depth": 1,
+                              "num_heads": 2}},
+        },
+        "training": {
+            "learning_rate": 5e-3,
+            "optimizer_configs": {
+                "lm": {"optimizer": {"type": "AdamW",
+                                     "config": {"lr": 5e-3,
+                                                "betas": [0.9, 0.95],
+                                                "weight_decay": 0.1}}}},
+        },
+    }
+    model = create_model_from_config(cfg)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.lr == 5e-3 and tr.b1 == 0.9 and tr.b2 == 0.95
+    tokens = jax.random.randint(KEY, (2, 2, 8), 0, 16)
+    params = tr.model.init(KEY, tokens)
+    state = tr.init_state(params)
+    step = jax.jit(tr.train_step)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, tokens)
+        losses.append(float(m["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # memorizes a fixed batch
+
+
+def test_inpaint_trainer_from_config():
+    cfg = {
+        "model_type": "diffusion_cond_inpaint",
+        "sample_rate": 8000,
+        "model": {
+            "diffusion": {
+                "type": "dit",
+                "io_channels": 2,
+                "input_concat_ids": ["inpaint_mask",
+                                     "inpaint_masked_input"],
+                "config": {"io_channels": 2, "embed_dim": 32,
+                           "depth": 1, "num_heads": 2},
+            },
+        },
+        "training": {"learning_rate": 1e-4, "max_mask_segments": 4,
+                     "timestep_sampler": "uniform"},
+    }
+    model = create_model_from_config(cfg)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.inpaint and tr.max_mask_segments == 4
+    x0 = jax.random.normal(KEY, (2, 2, 16))
+    # the DiT sees x (2ch) + concat cond (mask 1ch + masked input 2ch)
+    params = tr.model.init(
+        KEY, x0, jnp.full((2,), 0.5),
+        input_concat_cond=jnp.zeros((2, 3, 16)))
+    loss = jax.jit(tr.loss)(params, KEY, x0)
+    assert np.isfinite(float(loss))
+
+
+def test_random_inpaint_mask_static_shapes():
+    from ditsep_tpu.training.diffusion import random_inpaint_mask
+
+    x = jnp.ones((16, 2, 64))
+    masked, mask = jax.jit(
+        lambda k, x: random_inpaint_mask(k, x, max_mask_segments=5)
+    )(KEY, x)
+    assert mask.shape == (16, 1, 64) and masked.shape == x.shape
+    vals = np.unique(np.asarray(mask))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    np.testing.assert_allclose(np.asarray(masked),
+                               np.asarray(x * mask))
+    # all three mask types appear across a batch of 16
+    per_sample = np.asarray(mask[:, 0, :])
+    has_full = (per_sample.sum(-1) == 0).any()
+    is_causal = np.array([
+        (row[: int(row.sum())].all() and not row[int(row.sum()):].any())
+        and 0 < row.sum() for row in per_sample])
+    assert has_full or is_causal.any()
+
+    # padding is respected: with real_len=32, segment/causal draws stay
+    # inside the unpadded region (mask over padding may be 0 only for
+    # full/causal types, never a mid-padding segment start)
+    pad = jnp.concatenate([jnp.ones((4, 32)), jnp.zeros((4, 32))], -1)
+    _, m2 = random_inpaint_mask(jax.random.PRNGKey(3), x[:4],
+                                max_mask_segments=5, padding_mask=pad)
+    assert m2.shape == (4, 1, 64)
+
+
+def test_unknown_model_type_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        create_trainer_from_config(
+            {"model_type": "nope", "training": {}}, None)
