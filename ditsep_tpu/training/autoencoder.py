@@ -64,16 +64,25 @@ class AutoencoderTrainer:
     encoder_freeze_on_warmup: bool = False
     ema_decay: float = 0.9999
     clip_grad_norm: float = 0.0
+    # config-driven optimizer overrides (reference: the training block's
+    # optimizer_configs consumed by training/factory.py:44-51) — built by
+    # schedules.create_optimizer_from_config; defaults below otherwise
+    vae_tx: Optional[Any] = None
+    disc_tx: Optional[Any] = None
 
     def make_vae_optimizer(self):
-        tx = optax.adamw(inverse_lr_schedule(self.lr), b1=0.8, b2=0.99,
-                         weight_decay=1e-3)
+        tx = self.vae_tx
+        if tx is None:
+            tx = optax.adamw(inverse_lr_schedule(self.lr), b1=0.8, b2=0.99,
+                             weight_decay=1e-3)
         if self.clip_grad_norm > 0:
             tx = optax.chain(optax.clip_by_global_norm(self.clip_grad_norm),
                              tx)
         return tx
 
     def make_disc_optimizer(self):
+        if self.disc_tx is not None:
+            return self.disc_tx
         return optax.adamw(inverse_lr_schedule(self.disc_lr), b1=0.8,
                            b2=0.99, weight_decay=1e-3)
 

@@ -65,12 +65,23 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
         disc_cfg = lc.get("discriminator")
         disc = (None if disc_cfg is None
                 else create_discriminator_from_config(disc_cfg))
+
+        def tx_for(group):
+            oc = (training.get("optimizer_configs") or {}).get(group)
+            if oc is None or "optimizer" not in oc:
+                return None
+            from ditsep_tpu.training.schedules import (
+                create_optimizer_from_config)
+            return create_optimizer_from_config(oc["optimizer"],
+                                                oc.get("scheduler"))
+
         return AutoencoderTrainer(
             vae=model, disc=disc, loss_cfg=loss_cfg,
             lr=training.get("learning_rate", 1.5e-4),
             warmup_steps=training.get("warmup_steps", 0),
             encoder_freeze_on_warmup=training.get(
-                "encoder_freeze_on_warmup", False))
+                "encoder_freeze_on_warmup", False),
+            vae_tx=tx_for("autoencoder"), disc_tx=tx_for("discriminator"))
 
     if model_type in ("diffusion_uncond", "diffusion_cond",
                       "diffusion_cond_inpaint", "diffusion_prior",

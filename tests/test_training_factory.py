@@ -162,3 +162,73 @@ def test_unknown_model_type_raises():
     with pytest.raises(NotImplementedError):
         create_trainer_from_config(
             {"model_type": "nope", "training": {}}, None)
+
+
+def test_autoencoder_trainer_from_reference_json():
+    """The reference's own oobleck_finetune.json training block (with
+    optimizer_configs + InverseLR schedulers) builds a working trainer
+    (reference: configs/model_configs/autoencoders/oobleck_finetune.json,
+    training/utils.py:79-115)."""
+    import copy
+    import json
+
+    path = ("/root/reference/src/stable_audio_tools/configs/"
+            "model_configs/autoencoders/oobleck_finetune.json")
+    with open(path) as f:
+        cfg = copy.deepcopy(json.load(f))
+    # shrink the nets to test size; keep the training block verbatim
+    for side in ("encoder", "decoder"):
+        c = cfg["model"][side]["config"]
+        c["channels"] = 4
+        c["c_mults"] = [1, 2]
+        c["strides"] = [2, 2]
+        c["latent_dim"] = 8 if side == "encoder" else 4
+    cfg["model"]["latent_dim"] = 4
+    dcfg = cfg["training"]["loss_configs"]["discriminator"]["config"]
+    dcfg.update(filters=4, n_ffts=[128], hop_lengths=[32],
+                win_lengths=[128])
+
+    model = create_model_from_config(cfg)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.vae_tx is not None and tr.disc_tx is not None
+    assert tr.lr == cfg["training"]["learning_rate"]
+
+    reals = jax.random.normal(KEY, (2, 1, 256)) * 0.3
+    state = tr.init_state(model.init(KEY, reals),
+                          tr.disc.init(KEY, reals))
+    state, m = tr.gen_step(state, KEY, reals, warmed_up=True)
+    assert np.isfinite(float(m["train/loss"]))
+    state, md = tr.disc_step(state, KEY, reals)
+    assert np.isfinite(float(md["train/discriminator_loss"]))
+
+
+def test_optimizer_factory_schedules():
+    import optax
+
+    from ditsep_tpu.training.schedules import (
+        create_optimizer_from_config, create_schedule_from_config,
+        inverse_lr_schedule,
+    )
+
+    s = create_schedule_from_config(
+        {"type": "InverseLR",
+         "config": {"inv_gamma": 100, "power": 0.5, "warmup": 0.0}}, 1e-3)
+    ref = inverse_lr_schedule(1e-3, inv_gamma=100, power=0.5, warmup=0.0)
+    assert float(s(0)) == float(ref(0)) and float(s(100)) == float(ref(100))
+    assert float(s(100)) < float(s(0))
+
+    e = create_schedule_from_config(
+        {"type": "ExponentialLR", "config": {"gamma": 0.9}}, 1.0)
+    np.testing.assert_allclose(float(e(2)), 0.81, rtol=1e-6)
+
+    p = {"w": jnp.ones((3,))}
+    g = {"w": jnp.ones((3,))}
+    for kind in ("AdamW", "Adam", "SGD", "RMSprop"):
+        tx = create_optimizer_from_config(
+            {"type": kind, "config": {"lr": 1e-3}})
+        st = tx.init(p)
+        u, _ = tx.update(g, st, p)
+        assert np.isfinite(float(optax.global_norm(u)))
+    import pytest
+    with pytest.raises(NotImplementedError):
+        create_optimizer_from_config({"type": "LBFGS", "config": {}})
