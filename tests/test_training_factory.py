@@ -232,3 +232,65 @@ def test_optimizer_factory_schedules():
     import pytest
     with pytest.raises(NotImplementedError):
         create_optimizer_from_config({"type": "LBFGS", "config": {}})
+
+
+def test_demo_callback_factory(tmp_path):
+    """create_demo_callback_from_config dispatches per model_type and the
+    callbacks run end to end into the metrics logger
+    (reference: training/factory.py:160-245)."""
+    from ditsep_tpu.training.demo import (
+        AutoencoderDemoCallback, DiffusionDemoCallback, LMDemoCallback,
+        create_demo_callback_from_config,
+    )
+    from ditsep_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path), backend="none")
+
+    # autoencoder
+    ae_cfg = {"model_type": "autoencoder", "sample_rate": 8000,
+              "model": _tiny_oobleck_model_block(),
+              "training": {"demo": {"demo_every": 5}}}
+    cb = create_demo_callback_from_config(ae_cfg)
+    assert isinstance(cb, AutoencoderDemoCallback)
+    assert cb.due(0) and cb.due(5) and not cb.due(3)
+    vae = create_model_from_config(ae_cfg)
+    reals = jax.random.normal(KEY, (2, 1, 64)) * 0.3
+    params = vae.init(KEY, reals)
+    cb(logger, 0, vae, params, reals)
+
+    # diffusion (uncond flavor: no conditioning inputs)
+    d_cfg = {"model_type": "diffusion_uncond", "sample_rate": 8000,
+             "sample_size": 32,
+             "model": {"diffusion": {"type": "dit", "io_channels": 2,
+                                     "config": {"io_channels": 2,
+                                                "embed_dim": 16,
+                                                "depth": 1,
+                                                "num_heads": 2}}},
+             "training": {"demo": {"demo_every": 5, "demo_steps": 3,
+                                   "num_demos": 2,
+                                   "demo_cfg_scales": [1.0]}}}
+    dcb = create_demo_callback_from_config(d_cfg)
+    assert isinstance(dcb, DiffusionDemoCallback)
+    dit = create_model_from_config(d_cfg)
+    x = jnp.zeros((2, 2, 32))
+    dparams = dit.init(KEY, x, jnp.full((2,), 0.5))
+    dcb(logger, 5, dit, dparams, KEY)
+
+    # lm
+    lm_cfg = {"model_type": "lm", "sample_rate": 8000, "sample_size": 32,
+              "model": {"lm": {"type": "continuous_transformer",
+                               "codebook_pattern": "delay",
+                               "config": {"n_quantizers": 2,
+                                          "codebook_size": 8,
+                                          "embed_dim": 16, "depth": 1,
+                                          "num_heads": 2}}},
+              "training": {"demo": {"demo_every": 5, "num_demos": 1}}}
+    lm, pattern = create_model_from_config(lm_cfg)
+    lcb = create_demo_callback_from_config(lm_cfg, pattern=pattern)
+    assert isinstance(lcb, LMDemoCallback)
+    tokens = jax.random.randint(KEY, (1, 2, 4), 0, 8)
+    lparams = lm.init(KEY, tokens)
+    lcb(logger, 5, lm, lparams, KEY, length=4)
+
+    # every scalar/audio write ends in the JSONL / tb sinks without error
+    assert (tmp_path / "metrics.jsonl").exists()
