@@ -437,6 +437,39 @@ def create_audio_lm_from_config(cfg: Dict[str, Any]):
     return lm, patterns[name]()
 
 
+def create_diffusion_uncond_from_config(cfg: Dict[str, Any]):
+    """Unconditional diffusion dispatch (reference: models/diffusion.py
+    :595-637 create_diffusion_uncond_from_config): the uncond JSON schema
+    puts the net type directly under ``model`` ('DAU1d' — the
+    dance_diffusion configs — / 'adp_uncond_1d' / 'dit'). Configs written
+    in the conditional schema (``model.diffusion``) keep working and
+    return the bare net."""
+    model = cfg["model"]
+    if "diffusion" in model:  # cond-schema config, uncond training
+        return create_diffusion_cond_from_config(cfg)[0]
+    kind = model.get("type")
+    c = dict(model.get("config", {}))
+    if kind == "DAU1d":
+        from ditsep_tpu.models.dau1d import DiffusionAttnUnet1D
+        for k in ("channels", "strides"):
+            if k in c and isinstance(c[k], list):
+                c[k] = tuple(c[k])
+        return DiffusionAttnUnet1D(**c)
+    if kind == "adp_uncond_1d":
+        # UNet1DUncondWrapper wraps the plain adp UNet1d
+        # (reference: diffusion.py:607-611)
+        from ditsep_tpu.models.unet1d import create_unet_from_config
+        return create_unet_from_config("adp_1d", c)
+    if kind == "dit":
+        return DiffusionTransformer(
+            io_channels=c.get("io_channels", model.get("io_channels", 2)),
+            embed_dim=c.get("embed_dim", 768),
+            depth=c.get("depth", 12),
+            num_heads=c.get("num_heads", 8),
+        )
+    raise NotImplementedError(f"Unknown diffusion uncond type: {kind}")
+
+
 def create_model_from_config(cfg: Dict[str, Any]):
     """Top-level dispatch (reference: factory.py:3-24)."""
     model_type = cfg.get("model_type")
@@ -447,7 +480,7 @@ def create_model_from_config(cfg: Dict[str, Any]):
                       "diffusion_prior"):
         return create_diffusion_cond_from_config(cfg)
     if model_type == "diffusion_uncond":
-        return create_diffusion_cond_from_config(cfg)[0]
+        return create_diffusion_uncond_from_config(cfg)
     if model_type == "diffusion_autoencoder":
         return create_diffAE_from_config(cfg)
     if model_type == "lm":
