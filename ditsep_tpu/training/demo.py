@@ -76,10 +76,21 @@ class DiffusionDemoCallback:
     def __call__(self, logger, step: int, model, params, key: Array,
                  cond_inputs: Optional[Dict[str, Array]] = None,
                  pretransform=None) -> None:
+        import inspect
+
         from ditsep_tpu.inference.generation import generate_diffusion_cond
+
+        # nets without CFG/conditioning kwargs (e.g. DAU1d) ignore them
+        accepted = set(inspect.signature(
+            type(model).__call__).parameters)
+        takes_kw = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                       for p in inspect.signature(
+                           type(model).__call__).parameters.values())
 
         for scale in self.demo_cfg_scales:
             def model_fn(x, t, **kw):
+                if not takes_kw:
+                    kw = {k: v for k, v in kw.items() if k in accepted}
                 return model.apply(params, x, t, **kw)
 
             audio = generate_diffusion_cond(
@@ -146,8 +157,12 @@ def create_demo_callback_from_config(model_config: Dict[str, Any],
                       "diffusion_cond_inpaint", "diffusion_prior",
                       "diffusion_autoencoder"):
         model = model_config.get("model", {})
+        # cond schema: model.diffusion.io_channels; uncond schema:
+        # model.config.io_channels (e.g. DAU1d dance_diffusion configs)
         io_ch = model.get("diffusion", {}).get(
-            "io_channels", model.get("io_channels", 64))
+            "io_channels",
+            model.get("config", {}).get("io_channels",
+                                        model.get("io_channels", 64)))
         return DiffusionDemoCallback(
             demo_steps=demo.get("demo_steps", 250),
             sample_size=model_config.get("sample_size", 65536),

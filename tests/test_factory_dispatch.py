@@ -235,3 +235,23 @@ def test_dau1d_cond_noise_aug():
     params = net.init(KEY, x, t, cond=cond, key=KEY)
     y = net.apply(params, x, t, cond=cond, cond_aug_scale=0.1, key=KEY)
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+def test_txt2audio_configs_build():
+    """The shipped stable-audio 1.0/2.0 txt2audio configs resolve through
+    the factory: adp UNet / DiT nets, prompt+seconds conditioning ids,
+    CLAP/number conditioner configs (reference:
+    configs/model_configs/txt2audio/*.json)."""
+    import json
+
+    for name, net_kind in (("stable_audio_1_0", "UNetCondAdapter"),
+                           ("stable_audio_2_0", "DiffusionTransformer")):
+        path = ("/root/reference/src/stable_audio_tools/configs/"
+                f"model_configs/txt2audio/{name}.json")
+        cfg = json.load(open(path))
+        net, routing, conds = create_model_from_config(cfg)
+        assert type(net).__name__ == net_kind
+        assert routing.cross_attn_cond_ids == (
+            "prompt", "seconds_start", "seconds_total")
+        kinds = [c.get("type") for c in conds]
+        assert "clap_text" in kinds

@@ -294,3 +294,59 @@ def test_demo_callback_factory(tmp_path):
 
     # every scalar/audio write ends in the JSONL / tb sinks without error
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_train_stable_cli_end_to_end(tmp_path):
+    """The generic JSON-config training entry composes
+    create_model_from_config -> create_trainer_from_config ->
+    create_demo_callback_from_config and trains each supported
+    model_type a few steps (the reference trains these configs via
+    stable-audio-tools' upstream train.py over the same factories)."""
+    import json
+
+    from ditsep_tpu.cli.train_stable import main
+
+    mc = tmp_path / "dau.json"
+    mc.write_text(json.dumps({
+        "model_type": "diffusion_uncond", "sample_rate": 8000,
+        "sample_size": 64,
+        "model": {"type": "DAU1d",
+                  "config": {"io_channels": 2, "depth": 2,
+                             "n_attn_layers": 1, "channels": [4, 8],
+                             "strides": [2]}},
+        "training": {"learning_rate": 1e-3,
+                     "demo": {"demo_every": 10, "demo_steps": 2,
+                              "num_demos": 1}}}))
+    m = main(["--model-config", str(mc), "--workdir",
+              str(tmp_path / "run"), "--batch-size", "2",
+              "--max-steps", "12", "--cpu"])
+    assert np.isfinite(m["train/loss"])
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+    lc = tmp_path / "lm.json"
+    lc.write_text(json.dumps({
+        "model_type": "lm", "sample_rate": 8000, "sample_size": 16384,
+        "model": {"lm": {"type": "continuous_transformer",
+                         "codebook_pattern": "delay",
+                         "config": {"n_quantizers": 2,
+                                    "codebook_size": 16,
+                                    "embed_dim": 32, "depth": 1,
+                                    "num_heads": 2}}},
+        "training": {"learning_rate": 3e-3}}))
+    m2 = main(["--model-config", str(lc), "--workdir",
+               str(tmp_path / "run2"), "--batch-size", "2",
+               "--max-steps", "8", "--cpu"])
+    assert np.isfinite(m2["train/loss"])
+
+    import pytest
+    bad = tmp_path / "cond.json"
+    bad.write_text(json.dumps({
+        "model_type": "diffusion_cond", "sample_rate": 8000,
+        "model": {"diffusion": {"type": "dit",
+                                "config": {"io_channels": 2,
+                                           "embed_dim": 16,
+                                           "depth": 1, "num_heads": 2}}},
+        "training": {"learning_rate": 1e-4}}))
+    with pytest.raises(SystemExit):
+        main(["--model-config", str(bad), "--workdir",
+              str(tmp_path / "run3"), "--cpu"])
