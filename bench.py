@@ -45,7 +45,9 @@ def main():
     sde = MixSDE(N=30)
 
     t_len = int(UTT_SECONDS * FS)
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # bs 32 measured 1.5% over bs 16 on v5e (1.968-1.971 vs 1.941-1.942
+    # utt/s, 5-rep runs); the OOM fallback below halves it on smaller HBM
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     dtype = jnp.float32
     import numpy as np
 

@@ -25,6 +25,7 @@ from ditsep_tpu.models.unet1d import (
     UNetNCCA1d,
     XUNet1d,
 )
+from ditsep_tpu.models.dau1d import DiffusionAttnUnet1D
 from ditsep_tpu.models.torch_import import (
     diffsep_ema_param_order,
     import_diffsep_ema,
