@@ -28,6 +28,15 @@ train-smoke:
 	  "model.score_model.ch_mult=(1, 1)" \
 	  "model.score_model.attn_resolutions=()" model.sampler.N=2
 
+train-stable-smoke:
+	printf '%s' '{"model_type": "diffusion_uncond", "sample_rate": 8000, \
+	  "sample_size": 64, "model": {"type": "DAU1d", "config": \
+	  {"io_channels": 2, "depth": 2, "n_attn_layers": 1, \
+	  "channels": [4, 8], "strides": [2]}}, \
+	  "training": {"learning_rate": 0.001}}' > /tmp/dau_smoke.json
+	$(PY) -m ditsep_tpu.cli.train_stable --model-config /tmp/dau_smoke.json \
+	  --workdir /tmp/stable_smoke --batch-size 2 --max-steps 5
+
 eval-smoke:
 	$(PY) -m ditsep_tpu.cli.evaluate --config diffsep --synthetic \
 	  --sampler-N 2 --limit 2 --eval-batch-size 2 \
