@@ -48,6 +48,9 @@ def main(argv=None):
                         "(reference: evaluate_mp.py save_samples)")
     p.add_argument("--save-figures", type=int, default=0,
                    help="save spectrogram PDFs for the first N utterances")
+    p.add_argument("--no-proc", action="store_true",
+                   help="mixture baseline: score the raw mix, no model "
+                        "(reference ckpt sentinel __no_proc__)")
     p.add_argument("--latent", action="store_true",
                    help="evaluate the latent pipeline (evaluate_latent "
                         "equivalent; reference: src/evaluate_latent.py)")
@@ -62,6 +65,23 @@ def main(argv=None):
                       synthetic_len_s=args.synthetic_len_s)
     key = jax.random.PRNGKey(args.seed)
     mix0, tgt0 = ds[0]
+
+    if args.no_proc:
+        # mixture baseline: score the unprocessed mix broadcast to the
+        # source count, nfe 0 (reference: evaluate_mp.py:223,303-308
+        # ckpt == "__no_proc__")
+        n_spkr = tgt0.shape[0]
+        sep = lambda k, mix: jnp.broadcast_to(
+            mix, (mix.shape[0], n_spkr, mix.shape[-1]))
+        res = evaluate_dataset(
+            sep, ds, fs=cfg["datamodule"].get("fs", 8000),
+            batch_size=args.eval_batch_size, nfe=0,
+            bucket_multiple=args.bucket_multiple,
+            max_buckets=args.max_buckets, out_dir=args.out_dir,
+            split_name=cfg["datamodule"]["test"]["split"],
+            limit=args.limit, seed=args.seed, warmup=False)
+        print(json.dumps(res["summary"], indent=2))
+        return
 
     if args.latent:
         if args.sampler != "pc":

@@ -241,3 +241,21 @@ def test_evaluate_dataset_end_to_end(tmp_path):
     per = json.load(open(tmp_path / "synthetic_test.json"))
     assert len(per) == 6
     assert "runtime" in per["0"]
+
+
+def test_evaluate_cli_no_proc_mixture_baseline(tmp_path):
+    """--no-proc scores the unprocessed mixture with nfe 0, like the
+    reference's __no_proc__ checkpoint sentinel
+    (reference: evaluate_mp.py:223,303-308)."""
+    import json
+
+    from ditsep_tpu.cli.evaluate import main
+
+    main(["--config", "diffsep", "--synthetic", "--limit", "2",
+          "--eval-batch-size", "2", "--no-proc", "--cpu",
+          "--synthetic-len-s", "1.0", "--out-dir", str(tmp_path)])
+    summaries = list(tmp_path.glob("*_summary.json"))
+    assert summaries
+    s = json.loads(summaries[0].read_text())
+    assert s["nfe"] == 0
+    assert abs(s["si_sdr"]) < 3.0  # mixture baseline, not separation
