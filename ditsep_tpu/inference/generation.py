@@ -101,3 +101,29 @@ def generate_diffusion_cond(
     if pretransform is not None:
         out = pretransform.decode(out)
     return out
+
+
+def build_mask(sample_size: int, mask_args: Dict[str, Any]) -> Array:
+    """Percentage-based inpainting mask with hann-softened edges and
+    marination (reference: inference/generation.py:412-429 build_mask).
+    Keys: maskstart/maskend/softnessL/softnessR in percent, marination in
+    [0, 1). Returns (sample_size,) in [0, 1]; 1 = regenerate."""
+    import math
+
+    maskstart = math.floor(mask_args["maskstart"] / 100.0 * sample_size)
+    maskend = math.ceil(mask_args["maskend"] / 100.0 * sample_size)
+    softness_l = round(mask_args.get("softnessL", 0) / 100.0 * sample_size)
+    softness_r = round(mask_args.get("softnessR", 0) / 100.0 * sample_size)
+    marination = mask_args.get("marination", 0)
+    mask = jnp.zeros((sample_size,))
+    mask = mask.at[maskstart:maskend].set(1.0)
+    # torch.hann_window(2s, periodic=False) == jnp.hanning(2s)
+    if softness_l > 0:
+        hann_l = jnp.hanning(2 * softness_l)[:softness_l]
+        mask = mask.at[maskstart:maskstart + softness_l].set(hann_l)
+    if softness_r > 0:
+        hann_r = jnp.hanning(2 * softness_r)[softness_r:]
+        mask = mask.at[maskend - softness_r:maskend].set(hann_r)
+    if marination > 0:
+        mask = mask * (1 - marination)
+    return mask

@@ -99,7 +99,11 @@ def pc_sample(
         timesteps = grid[:-1]
         dts = jnp.abs(grid[:-1] - grid[1:]) if use_schedule_dt else None
 
-    step_keys = jax.random.split(key, n * 2).reshape(n, 2, 2)
+    # key width is PRNG-impl-dependent (threefry: 2 uint32, rbg: 4) --
+    # reshape by it rather than hard-coding, so the TPU hardware RBG
+    # generator (JAX_DEFAULT_PRNG_IMPL=rbg) works too
+    raw = jax.random.split(key, n * 2)
+    step_keys = raw.reshape(n, 2, *raw.shape[1:])
 
     def step(carry, inputs):
         x, _ = carry

@@ -451,3 +451,51 @@ def test_clap_encode_host_with_injected_offline_model():
     v = he.init(KEY, jnp.asarray(emb))
     out, m = he.apply(v, jnp.asarray(emb))
     assert out.shape == (2, 1, 4) and m.shape == (2, 1)
+
+
+def test_build_mask_matches_reference_torch():
+    """Percentage inpainting mask with hann-softened edges + marination
+    matches the reference bit for bit
+    (reference: inference/generation.py:412-429)."""
+    import math
+
+    import torch
+
+    from ditsep_tpu.inference.generation import build_mask
+
+    def ref(sample_size, a):
+        ms = math.floor(a["maskstart"] / 100.0 * sample_size)
+        me = math.ceil(a["maskend"] / 100.0 * sample_size)
+        sl = round(a["softnessL"] / 100.0 * sample_size)
+        sr = round(a["softnessR"] / 100.0 * sample_size)
+        hann_l = torch.hann_window(sl * 2, periodic=False)[:sl]
+        hann_r = torch.hann_window(sr * 2, periodic=False)[sr:]
+        m = torch.zeros((sample_size,))
+        m[ms:me] = 1
+        m[ms:ms + sl] = hann_l
+        m[me - sr:me] = hann_r
+        if a["marination"] > 0:
+            m = m * (1 - a["marination"])
+        return m.numpy()
+
+    for a in ({"maskstart": 20, "maskend": 80, "softnessL": 5,
+               "softnessR": 10, "marination": 0},
+              {"maskstart": 10, "maskend": 90, "softnessL": 20,
+               "softnessR": 20, "marination": 0.5}):
+        for n in (256, 1000):
+            np.testing.assert_allclose(np.asarray(build_mask(n, a)),
+                                       ref(n, a), atol=1e-6)
+
+
+def test_pc_sampler_under_rbg_prng():
+    """The PC sampler's key plumbing is PRNG-implementation-agnostic
+    (rbg keys are 4 uint32 wide vs threefry's 2)."""
+    from ditsep_tpu.sdes import MixSDE, pc_sample
+
+    sde = MixSDE(N=4)
+    y = jnp.ones((1, 1, 512))
+    key = jax.random.key(0, impl="rbg")
+    out, nfe = pc_sample(sde, lambda x, t, c: -x, key, y, N=4,
+                         n_spkrs=2)
+    assert out.shape == (1, 2, 512)
+    assert bool(jnp.isfinite(out).all()) and int(nfe) == 8
