@@ -259,3 +259,25 @@ def test_evaluate_cli_no_proc_mixture_baseline(tmp_path):
     s = json.loads(summaries[0].read_text())
     assert s["nfe"] == 0
     assert abs(s["si_sdr"]) < 3.0  # mixture baseline, not separation
+
+
+def test_prepare_audio_inference_utils():
+    """Resample + pad/crop + channel fitting for inference inputs
+    (reference: inference/utils.py:5-40)."""
+    import numpy as np
+
+    from ditsep_tpu.inference.utils import prepare_audio, set_audio_channels
+
+    x = np.random.default_rng(0).normal(size=16000).astype(np.float32)
+    out = prepare_audio(x, 16000, 8000, 4000, 2)
+    assert out.shape == (1, 2, 4000)
+    np.testing.assert_allclose(out[0, 0], out[0, 1])  # mono duplicated
+
+    y = np.random.default_rng(1).normal(size=(3, 8000)).astype(np.float32)
+    out2 = prepare_audio(y, 8000, 8000, 10000, 1)
+    assert out2.shape == (1, 1, 10000)
+    assert float(np.abs(out2[..., 9000:]).max()) == 0.0  # zero-padded
+    np.testing.assert_allclose(out2[0, 0, :8000], y.mean(0), atol=1e-6)
+
+    z = np.random.default_rng(2).normal(size=(2, 5, 100))
+    assert set_audio_channels(z, 2).shape == (2, 2, 100)
