@@ -100,19 +100,20 @@ class ResConvBlock(nn.Module):
                 a = self.param(f"snake_a_{h.shape[-1]}",
                                nn.initializers.ones, (h.shape[-1],))
                 return h + jnp.sin(a * h) ** 2 / jnp.clip(a, min=1e-9)
-            return jax.nn.gelu(h)
+            # torch nn.GELU() default is the exact erf form
+            return jax.nn.gelu(h, approximate=False)
 
         pad = self.kernel_size // 2
         h = nn.Conv(self.c_mid, (self.kernel_size,), padding=pad,
                     use_bias=self.conv_bias, name="conv1",
                     dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=1, name="norm1", dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm1", dtype=self.dtype)(h)
         h = act(h)
         h = nn.Conv(self.c_out, (self.kernel_size,), padding=pad,
                     use_bias=self.conv_bias, name="conv2",
                     dtype=self.dtype)(h)
         if not self.is_last:
-            h = nn.GroupNorm(num_groups=1, name="norm2",
+            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm2",
                              dtype=self.dtype)(h)
             h = act(h)
         skip = x
@@ -132,7 +133,7 @@ class SelfAttention1d(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, t, c = x.shape
-        h = nn.GroupNorm(num_groups=1, name="norm", dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         qkv = nn.Conv(c * 3, (1,), name="qkv_proj", dtype=self.dtype)(h)
         qkv = qkv.reshape(b, t, self.n_head * 3, c // self.n_head)
         qkv = jnp.swapaxes(qkv, 1, 2)  # (B, 3H, T, D)

@@ -329,3 +329,85 @@ def import_diffsep_ema(
         ema_state.setdefault(k, v)
     return import_params(flax_params, ema_state, prefix=prefix,
                          strict=True)
+
+
+# --------------------------------------------------------------------------
+# DAU1d (dance-diffusion DiffusionAttnUnet1D) importer
+# --------------------------------------------------------------------------
+def import_dau1d_params(state_dict, depth: int, n_attn_layers: int):
+    """Map a reference DiffusionAttnUnet1D state_dict onto our
+    models.dau1d param tree (reference: models/diffusion.py:391-505; the
+    Sequential/SkipBlock nesting indices mirror the build loop exactly:
+    SkipBlock.main = [down, conv, attn, conv, attn, conv, attn, inner,
+    conv, attn, conv, attn, conv, attn, up]). FIR resampling carries no
+    parameters; learned resampling (down/up convs) is imported when
+    present."""
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv_kernel(arr):  # torch (out, in, k) -> flax (k, in, out)
+        return np.transpose(arr, (2, 1, 0))
+
+    def res_conv(pt):
+        out = {
+            "conv1": {"kernel": conv_kernel(sd[f"{pt}.main.0.weight"])},
+            "norm1": {"scale": sd[f"{pt}.main.1.weight"],
+                      "bias": sd[f"{pt}.main.1.bias"]},
+            "conv2": {"kernel": conv_kernel(sd[f"{pt}.main.3.weight"])},
+        }
+        if f"{pt}.main.0.bias" in sd:
+            out["conv1"]["bias"] = sd[f"{pt}.main.0.bias"]
+            out["conv2"]["bias"] = sd[f"{pt}.main.3.bias"]
+        if f"{pt}.main.4.weight" in sd:  # absent on is_last blocks
+            out["norm2"] = {"scale": sd[f"{pt}.main.4.weight"],
+                            "bias": sd[f"{pt}.main.4.bias"]}
+        if f"{pt}.skip.weight" in sd:
+            out["skip"] = {"kernel": conv_kernel(sd[f"{pt}.skip.weight"])}
+        return out
+
+    def attn(pt):
+        return {
+            "norm": {"scale": sd[f"{pt}.norm.weight"],
+                     "bias": sd[f"{pt}.norm.bias"]},
+            "qkv_proj": {"kernel": conv_kernel(sd[f"{pt}.qkv_proj.weight"]),
+                         "bias": sd[f"{pt}.qkv_proj.bias"]},
+            "out_proj": {"kernel": conv_kernel(sd[f"{pt}.out_proj.weight"]),
+                         "bias": sd[f"{pt}.out_proj.bias"]},
+        }
+
+    attn_layer = (depth - n_attn_layers if n_attn_layers > 0
+                  else depth + 1)
+
+    def level(pt, i):
+        m = f"{pt}.main"
+        out = {}
+        for name, idx in (("pre0", 1), ("pre1", 3), ("pre2", 5),
+                          ("post0", 8), ("post1", 10), ("post2", 12)):
+            out[name] = res_conv(f"{m}.{idx}")
+        if i >= attn_layer:
+            for name, idx in (("attn0", 2), ("attn1", 4), ("attn2", 6),
+                              ("attn3", 9), ("attn4", 11), ("attn5", 13)):
+                out[name] = attn(f"{m}.{idx}")
+        if f"{m}.0.weight" in sd:  # learned downsample
+            out["down"] = {"kernel": conv_kernel(sd[f"{m}.0.weight"]),
+                           "bias": sd[f"{m}.0.bias"]}
+        if f"{m}.14.weight" in sd:  # learned upsample
+            out["up"] = {"kernel": conv_kernel(sd[f"{m}.14.weight"]),
+                         "bias": sd[f"{m}.14.bias"]}
+        if i < depth:
+            out["inner"] = level(f"{m}.7", i + 1)
+        return out
+
+    params = {
+        "timestep_embed": sd["timestep_embed.weight"],
+        "stem0": res_conv("net.0"),
+        "stem1": res_conv("net.1"),
+        "stem2": res_conv("net.2"),
+        "head0": res_conv("net.4"),
+        "head1": res_conv("net.5"),
+        "head2": res_conv("net.6"),
+    }
+    if depth > 1:
+        params["inner"] = level("net.3", 2)
+    return {"params": params}

@@ -5,6 +5,7 @@ elsewhere; these tests cover the diffusion_autoencoder and lm paths
 end-to-end from reference-schema JSON configs."""
 import jax
 import jax.numpy as jnp
+import pytest
 
 from ditsep_tpu.models.factory import create_model_from_config
 
@@ -255,3 +256,73 @@ def test_txt2audio_configs_build():
             "prompt", "seconds_start", "seconds_total")
         kinds = [c.get("type") for c in conds]
         assert "clap_text" in kinds
+
+
+def test_dau1d_numerical_parity_vs_reference_torch():
+    """Our DAU1d reproduces the reference torch DiffusionAttnUnet1D with
+    imported weights at float32 bit level (reference:
+    models/diffusion.py:391-505, blocks.py:14-160). The reference module
+    itself cannot be constructed as shipped — diffusion.py passes
+    use_snake to a blocks.ResConvBlock that does not accept it — so the
+    oracle patches that kwarg away (use_snake=False is a no-op) and
+    stubs the unrelated imports its module chain drags in."""
+    import os
+    import sys
+    import types
+
+    import numpy as np
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference checkout not available")
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {})
+
+    stubs = ("einops_exts", "torchaudio", "torchaudio.transforms",
+             "pytorch_lightning", "pytorch_lightning.loggers", "wandb",
+             "k_diffusion")
+    saved = {n: sys.modules.get(n) for n in stubs}
+    sys.path.insert(0, ref_src)
+    try:
+        for n in stubs:
+            if saved[n] is None:
+                sys.modules[n] = _AnyAttr(n)
+        import torch
+        from stable_audio_tools.models import diffusion as ref_diff
+        from stable_audio_tools.models.blocks import ResConvBlock as Raw
+    except ImportError:
+        pytest.skip("torch reference unavailable")
+    finally:
+        sys.path.remove(ref_src)
+        for n, v in saved.items():
+            if v is None:
+                sys.modules.pop(n, None)
+
+    orig_rcb = ref_diff.ResConvBlock
+    ref_diff.ResConvBlock = lambda *a, use_snake=False, **k: Raw(*a, **k)
+    try:
+        torch.manual_seed(0)
+        tm = ref_diff.DiffusionAttnUnet1D(
+            io_channels=2, depth=3, n_attn_layers=2,
+            channels=[32, 32, 64], strides=[2, 2]).eval()
+    finally:
+        ref_diff.ResConvBlock = orig_rcb
+
+    from ditsep_tpu.models.dau1d import DiffusionAttnUnet1D
+    from ditsep_tpu.models.torch_import import import_dau1d_params
+
+    ours = DiffusionAttnUnet1D(io_channels=2, depth=3, n_attn_layers=2,
+                               channels=(32, 32, 64), strides=(2, 2))
+    params = import_dau1d_params(tm.state_dict(), depth=3,
+                                 n_attn_layers=2)
+
+    x = np.random.default_rng(0).normal(size=(2, 2, 64)).astype(np.float32)
+    t = np.array([0.3, 0.7], np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    out = np.asarray(ours.apply(params, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(out, ref_out, atol=2e-6, rtol=1e-5)
