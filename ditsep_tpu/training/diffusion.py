@@ -244,3 +244,53 @@ class DiffusionTrainer:
                               opt_state=opt_state, ema_params=ema),
                 {"train/loss": loss, "train/grad_norm":
                  optax.global_norm(grads)})
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffAETrainer:
+    """Joint encoder + diffusion-decoder training for the
+    diffusion_autoencoder model type (reference:
+    training/diffusion.py DiffusionAutoencoderTrainingWrapper,
+    factory.py:119-136): v-objective reconstruction where the diffusion
+    net is conditioned on the (nearest-upsampled) encoder latents via
+    input concat. ``params`` is {"encoder": .., "diffusion": ..}; both
+    receive gradients, as in the reference."""
+
+    model: Any  # models.diffusion_ae.DiffusionAutoencoder
+    lr: float = 1e-4
+    ema_decay: float = 0.9999
+    timestep_sampler: str = "uniform"
+
+    def make_optimizer(self):
+        return optax.adamw(self.lr, b1=0.9, b2=0.999, weight_decay=1e-3)
+
+    def init_state(self, params) -> DiffusionTrainState:
+        return DiffusionTrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=self.make_optimizer().init(params),
+            ema_params=params)
+
+    def loss(self, params, key: Array, x0: Array) -> Array:
+        k_t, k_z = jax.random.split(key)
+        t = sample_timesteps(k_t, x0.shape[0], self.timestep_sampler)
+        latents = self.model.encoder.apply(params["encoder"], x0)
+        noise = jax.random.normal(k_z, x0.shape, x0.dtype)
+        noised, target = diffusion_targets("v", x0, noise, t)
+        out = self.model.diffusion_input(params["diffusion"], noised, t,
+                                         latents)
+        return jnp.mean((out - target) ** 2)
+
+    def train_step(self, state: DiffusionTrainState, key: Array,
+                   x0: Array):
+        loss, grads = jax.value_and_grad(self.loss)(state.params, key, x0)
+        tx = self.make_optimizer()
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        d = self.ema_decay
+        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                           state.ema_params, params)
+        return (state.replace(step=state.step + 1, params=params,
+                              opt_state=opt_state, ema_params=ema),
+                {"train/loss": loss,
+                 "train/grad_norm": optax.global_norm(grads)})

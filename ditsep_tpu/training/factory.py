@@ -83,10 +83,20 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
                 "encoder_freeze_on_warmup", False),
             vae_tx=tx_for("autoencoder"), disc_tx=tx_for("discriminator"))
 
+    if model_type == "diffusion_autoencoder":
+        # (reference: factory.py:119-136 ->
+        # DiffusionAutoencoderTrainingWrapper): joint encoder+decoder
+        # training with latent input-concat conditioning
+        from ditsep_tpu.training.diffusion import DiffAETrainer
+
+        return DiffAETrainer(
+            model=model,
+            lr=training.get("learning_rate", 1e-4),
+            timestep_sampler=training.get("timestep_sampler", "uniform"))
+
     if model_type in ("diffusion_uncond", "diffusion_cond",
-                      "diffusion_cond_inpaint", "diffusion_prior",
-                      "diffusion_autoencoder"):
-        # (reference: factory.py:57-136 -> Diffusion*TrainingWrapper).
+                      "diffusion_cond_inpaint", "diffusion_prior"):
+        # (reference: factory.py:57-118 -> Diffusion*TrainingWrapper).
         # models.factory returns (dit, routing, cond_cfgs) for cond
         # types and the bare net for uncond; diffusion_prior trains the
         # same conditioned objective (the mono/dual-mono conditioning
@@ -98,8 +108,6 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
         net = model
         if isinstance(model, tuple):
             net, routing = model[0], model[1]
-        if model_type == "diffusion_autoencoder":
-            net = getattr(model, "diffusion", net)
         return DiffusionTrainer(
             model=net,
             objective=model_config.get("model", {}).get(
