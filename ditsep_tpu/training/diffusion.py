@@ -192,6 +192,11 @@ class DiffusionTrainer:
     # mask feed the net through the inpaint_* conditioning ids
     inpaint: bool = False
     max_mask_segments: int = 10
+    # mono->stereo prior variant (reference:
+    # DiffusionPriorTrainingWrapper :1431-1580): condition on the
+    # channel-mean of the target, repeated to the target's channel
+    # count, injected under the 'source' conditioning id
+    mono_stereo_prior: bool = False
 
     def make_optimizer(self):
         return optax.adamw(self.lr, b1=0.9, b2=0.999, weight_decay=1e-3)
@@ -215,6 +220,11 @@ class DiffusionTrainer:
             cond = dict(cond or {})
             cond["inpaint_mask"] = (mask, None)
             cond["inpaint_masked_input"] = (masked_input, None)
+        if self.mono_stereo_prior:
+            source = jnp.broadcast_to(x0.mean(axis=1, keepdims=True),
+                                      x0.shape)
+            cond = dict(cond or {})
+            cond["source"] = (source, None)
         kwargs: Dict[str, Any] = {}
         if cond is not None and self.routing is not None:
             kwargs = self.routing.gather(cond)

@@ -118,6 +118,10 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
             routing=routing,
             inpaint=(model_type == "diffusion_cond_inpaint"),
             max_mask_segments=training.get("max_mask_segments", 10),
+            mono_stereo_prior=(model_type == "diffusion_prior"
+                               and training.get("prior_type",
+                                                "mono_stereo")
+                               == "mono_stereo"),
         )
 
     if model_type == "lm":

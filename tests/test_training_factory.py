@@ -393,3 +393,31 @@ def test_diffae_trainer_joint_training():
         lambda a, b: float(jnp.abs(a - b).max()),
         state.params["encoder"], enc_p)
     assert max(jax.tree_util.tree_leaves(g_enc)) > 0
+
+
+def test_prior_trainer_mono_stereo_conditioning():
+    """diffusion_prior training conditions on the dual-mono source via
+    the 'source' id (reference: DiffusionPriorTrainingWrapper
+    :1524-1572)."""
+    cfg = {
+        "model_type": "diffusion_prior",
+        "sample_rate": 8000,
+        "model": {
+            "diffusion": {
+                "type": "dit",
+                "io_channels": 2,
+                "input_concat_ids": ["source"],
+                "config": {"io_channels": 2, "embed_dim": 16,
+                           "depth": 1, "num_heads": 2},
+            },
+        },
+        "training": {"learning_rate": 1e-4, "prior_type": "mono_stereo"},
+    }
+    model = create_model_from_config(cfg)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.mono_stereo_prior
+    x0 = jax.random.normal(KEY, (2, 2, 16))
+    params = tr.model.init(KEY, x0, jnp.full((2,), 0.5),
+                           input_concat_cond=jnp.zeros((2, 2, 16)))
+    loss = jax.jit(tr.loss)(params, KEY, x0)
+    assert np.isfinite(float(loss))
