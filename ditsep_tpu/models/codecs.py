@@ -618,3 +618,10 @@ class GenericAudioAutoencoder(nn.Module):
     def __call__(self, audio: Array, key: Optional[Array] = None):
         latents, info = self.encode(audio, key=key, return_info=True)
         return self.decode(latents), {**info, "latents": latents}
+
+    @property
+    def downsampling_ratio(self) -> int:
+        """Audio-samples-per-latent-frame, from the encoder's hop (the
+        reference AudioAutoencoder exposes the same field,
+        autoencoders.py:416)."""
+        return int(self.encoder.hop_length)

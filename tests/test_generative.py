@@ -673,3 +673,28 @@ def test_dac_pretransform_token_roundtrip():
     z_cont = pre_qod.encode(x)
     np.testing.assert_allclose(np.asarray(pre_qod.decode(z_cont)),
                                np.asarray(y_tok), atol=1e-4)
+
+
+def test_pretransform_factory_generic_autoencoder():
+    """Non-oobleck autoencoder pretransforms (generic encoder/decoder +
+    bottleneck composition) initialize and round-trip; the generic AE
+    exposes downsampling_ratio like the reference AudioAutoencoder
+    (reference: autoencoders.py:416)."""
+    from ditsep_tpu.models.factory import create_pretransform_from_config
+
+    pre = create_pretransform_from_config(
+        {"type": "autoencoder",
+         "config": {
+             "encoder": {"type": "dac",
+                         "config": {"d_model": 4, "strides": [2, 2],
+                                    "latent_dim": 8, "in_channels": 1}},
+             "decoder": {"type": "dac",
+                         "config": {"latent_dim": 8, "channels": 8,
+                                    "rates": [2, 2], "out_channels": 1}},
+             "bottleneck": {"type": "tanh"},
+             "latent_dim": 8}},
+        sample_rate=8000)
+    assert pre.downsampling_ratio == 4
+    z = pre.encode(jnp.ones((1, 1, 32)))
+    assert z.shape == (1, 8, 8)
+    assert pre.decode(z).shape == (1, 1, 32)
