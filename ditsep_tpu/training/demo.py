@@ -16,7 +16,6 @@ import dataclasses
 from typing import Any, Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

@@ -36,8 +36,6 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
     """Dispatch on model_type like the reference factory
     (reference: training/factory.py:5-158). `model` is whatever
     models.factory.create_model_from_config returned for this config."""
-    import jax
-
     model_type = model_config.get("model_type")
     assert model_type is not None, "model_type must be specified"
     training = model_config.get("training")

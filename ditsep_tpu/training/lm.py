@@ -12,7 +12,7 @@ outside this trainer, as in the reference (`lm.py:34`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
