@@ -54,8 +54,17 @@ def _install_torchaudio_stub():
     stft_args usage (score_models.py:28-30)."""
     if "torchaudio" in sys.modules:
         return
+    import importlib.machinery
     ta = types.ModuleType("torchaudio")
     tr = types.ModuleType("torchaudio.transforms")
+    # a module in sys.modules with __spec__ None makes
+    # importlib.util.find_spec RAISE for anyone probing availability
+    # (transformers does at import); a loaderless spec is valid, and
+    # transformers still concludes "not installed" because no
+    # distribution metadata exists for it
+    ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+    tr.__spec__ = importlib.machinery.ModuleSpec(
+        "torchaudio.transforms", None)
 
     class Spectrogram(torch.nn.Module):
         def __init__(self, n_fft, hop_length, center=True,
