@@ -1,6 +1,7 @@
 """AB2 multistep sampler tests: analytic-oracle accuracy and trainer
 integration."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,7 @@ def test_ab2_second_order_convergence():
     assert errs[40] < errs[10] / 4.0
 
 
+@pytest.mark.slow
 def test_ab2_through_trainer_separate():
     model = ScoreModelNCSNpp(num_sources=2, nf=16, ch_mult=(1, 1),
                              attn_resolutions=(), image_size=256)

@@ -492,6 +492,7 @@ def test_oobleck_and_period_discriminators():
 
 
 # ------------------------------------------------------------ losses ------
+@pytest.mark.slow
 def test_dac_discriminator_and_gan_loss():
     """DAC multi-discriminator (MPD+MSD+MRD): fmap contract, LSGAN loss
     values, and gradient flow to BOTH discriminator and generator sides

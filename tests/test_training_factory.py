@@ -6,6 +6,7 @@ training/diffusion.py:848-895)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ditsep_tpu.models.factory import create_model_from_config
 from ditsep_tpu.training.factory import create_trainer_from_config
@@ -296,6 +297,7 @@ def test_demo_callback_factory(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_train_stable_cli_end_to_end(tmp_path):
     """The generic JSON-config training entry composes
     create_model_from_config -> create_trainer_from_config ->

@@ -43,6 +43,7 @@ def test_unet1d_full_conditioning_surface():
     assert float(jnp.abs(out - out2).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_unet_cfg_guidance_semantics():
     x = jax.random.normal(KEY, (2, 4, 64))
     t = jnp.full((2,), 0.5)
@@ -113,6 +114,7 @@ def test_unet_ncca_and_number_embedder():
     assert oe.shape == (1, 2, 32)
 
 
+@pytest.mark.slow
 def test_xunet_dispatch_and_factory():
     assert isinstance(XUNet1d("base", in_channels=2), UNet1d)
     assert isinstance(
