@@ -48,6 +48,9 @@ def main(argv=None):
                         "(reference: evaluate_mp.py save_samples)")
     p.add_argument("--save-figures", type=int, default=0,
                    help="save spectrogram PDFs for the first N utterances")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 score-net compute (validated 47-80 dB "
+                        "SI-SDR agreement vs f32 through the sampler)")
     p.add_argument("--no-proc", action="store_true",
                    help="mixture baseline: score the raw mix, no model "
                         "(reference ckpt sentinel __no_proc__)")
@@ -60,6 +63,8 @@ def main(argv=None):
         from ditsep_tpu.cli.common import force_cpu
         force_cpu()
     cfg = load_config(args.config, args.override)
+    if args.bf16:
+        cfg["model"]["score_model"]["dtype"] = "bfloat16"
 
     ds = make_dataset(cfg, "test", args.data_path, args.synthetic,
                       synthetic_len_s=args.synthetic_len_s)

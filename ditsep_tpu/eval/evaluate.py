@@ -58,6 +58,16 @@ def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
     return {i: assign(L) for i, L in enumerate(lengths)}
 
 
+def _host_fence(est) -> None:
+    """True completion fence: `block_until_ready` under-fences on
+    tunneled backends (the axon runtime can return before remote
+    execution finishes — the same reason bench.py reads a host scalar).
+    A one-element host read is the reliable barrier; its ~tens-of-ms
+    dispatch cost is negligible against multi-second sampling calls."""
+    jax.block_until_ready(est)
+    np.asarray(jax.numpy.ravel(est)[0])
+
+
 def evaluate_dataset(
     separate_fn,
     dataset,
@@ -131,11 +141,11 @@ def evaluate_dataset(
                 mix_j = jax.device_put(mix_j, sharding)
             key, sub = jax.random.split(key)
             if not warmed:  # absorb XLA compile outside the timing
-                jax.block_until_ready(separate_fn(sub, mix_j))
+                _host_fence(separate_fn(sub, mix_j))
                 warmed = True
             t0 = time.perf_counter()
             est = separate_fn(sub, mix_j)
-            est = jax.block_until_ready(est)
+            _host_fence(est)
             runtime = (time.perf_counter() - t0) / n_real
             est = np.asarray(est)
             for bi in range(n_real):
