@@ -65,6 +65,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="dataset root (wsj0-mix / LibriMix layout)")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--synthetic-items", type=int, default=16,
+                   help="synthetic dataset size")
     p.add_argument("--synthetic-len-s", type=float, default=None,
                    help="fixed synthetic utterance length in seconds "
                         "(one bucket shape -> one compile)")

@@ -67,6 +67,7 @@ def main(argv=None):
         cfg["model"]["score_model"]["dtype"] = "bfloat16"
 
     ds = make_dataset(cfg, "test", args.data_path, args.synthetic,
+                      synthetic_items=args.synthetic_items,
                       synthetic_len_s=args.synthetic_len_s)
     key = jax.random.PRNGKey(args.seed)
     mix0, tgt0 = ds[0]
