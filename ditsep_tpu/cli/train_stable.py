@@ -53,6 +53,9 @@ def main(argv=None):
                    help="save a checkpoint every N steps (0 = end only)")
     p.add_argument("--demo-every", type=int, default=0,
                    help="override training.demo.demo_every (0 = config)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's latest checkpoint "
+                        "(written by --ckpt-every)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -96,12 +99,13 @@ def main(argv=None):
         vae_params = model.init(k_init, batch)
         disc_params = (trainer.disc.init(k_init, batch)
                        if trainer.disc is not None else None)
-        state = trainer.init_state(vae_params, disc_params)
+        state, start = _maybe_resume(
+            args, ckpts, trainer.init_state(vae_params, disc_params))
         gen = jax.jit(lambda s, k, r: trainer.gen_step(
             s, k, r, warmed_up=True))
         dsc = jax.jit(trainer.disc_step) if trainer.disc is not None \
             else None
-        for step in range(args.max_steps):
+        for step in range(start, args.max_steps):
             k = jax.random.fold_in(k_step, step)
             if dsc is not None and trainer.use_disc_this_step(step):
                 state, m = dsc(state, k, batch)
@@ -116,9 +120,10 @@ def main(argv=None):
         io_ch = getattr(net, "io_channels", 2)
         x0 = _synthetic_audio(k_data, args.batch_size, io_ch, sample_size)
         params = net.init(k_init, x0, jnp.full((args.batch_size,), 0.5))
-        state = trainer.init_state(params)
+        state, start = _maybe_resume(args, ckpts,
+                                     trainer.init_state(params))
         step_fn = jax.jit(trainer.train_step)
-        for step in range(args.max_steps):
+        for step in range(start, args.max_steps):
             state, m = step_fn(state, jax.random.fold_in(k_step, step), x0)
             _log(logger, ckpts, state, step, m, args)
             if demo_cb is not None and demo_cb.due(step):
@@ -131,9 +136,10 @@ def main(argv=None):
         tokens = jax.random.randint(
             k_data, (args.batch_size, lm.n_quantizers, t_tok), 0,
             lm.codebook_size)
-        state = trainer.init_state(lm.init(k_init, tokens))
+        state, start = _maybe_resume(
+            args, ckpts, trainer.init_state(lm.init(k_init, tokens)))
         step_fn = jax.jit(trainer.train_step)
-        for step in range(args.max_steps):
+        for step in range(start, args.max_steps):
             state, m = step_fn(state, tokens)
             _log(logger, ckpts, state, step, m, args)
             if demo_cb is not None and demo_cb.due(step):
@@ -149,6 +155,21 @@ def main(argv=None):
     ckpts.save(state, args.max_steps, metrics)
     print(json.dumps({"final": metrics, "steps": args.max_steps}))
     return metrics
+
+
+def _maybe_resume(args, ckpts, fresh_state):
+    """Restore the rolling 'latest' checkpoint into the freshly-built
+    state structure and continue from its step (orbax restore needs the
+    abstract tree, which init_state provides)."""
+    if not args.resume:
+        return fresh_state, 0
+    try:
+        state = ckpts.restore(fresh_state, prefer="latest")
+    except FileNotFoundError:
+        return fresh_state, 0
+    start = int(state.step) if hasattr(state, "step") else 0
+    print(json.dumps({"resumed_at_step": start}))
+    return state, start
 
 
 def _log(logger, ckpts, state, step, m, args):
