@@ -69,6 +69,11 @@ class AutoencoderTrainer:
     # schedules.create_optimizer_from_config; defaults below otherwise
     vae_tx: Optional[Any] = None
     disc_tx: Optional[Any] = None
+    # noise-resistance latent masking + teacher distillation
+    # (reference: factory.py:29-43, autoencoders.py:46-47,171-179,404-415)
+    latent_mask_ratio: float = 0.0
+    teacher_vae: Optional[Any] = None
+    teacher_params: Optional[Any] = None
 
     def make_vae_optimizer(self):
         tx = self.vae_tx
@@ -99,9 +104,15 @@ class AutoencoderTrainer:
 
     def _roundtrip(self, vae_params, key: Array, reals: Array,
                    freeze_encoder: bool = False):
-        """encode (posterior sample) -> decode; returns (decoded, kl)."""
+        """encode (posterior sample) -> [latent mask] -> decode; returns
+        (decoded, reals_trimmed, kl, latents). latent_mask_ratio zeroes
+        random latent entries for noise resistance before decoding
+        (reference: autoencoders.py:410-415)."""
+        k_enc, k_mask = jax.random.split(key)
+
         def enc(p):
-            lat, info = self.vae.apply(p, reals, key=key, return_info=True,
+            lat, info = self.vae.apply(p, reals, key=k_enc,
+                                       return_info=True,
                                        method=self.vae.encode)
             return lat, info["kl"]
 
@@ -109,17 +120,23 @@ class AutoencoderTrainer:
             lat, kl = enc(jax.tree.map(jax.lax.stop_gradient, vae_params))
         else:
             lat, kl = enc(vae_params)
-        decoded = self.vae.apply(vae_params, lat, method=self.vae.decode)
+        dec_in = lat
+        if self.latent_mask_ratio > 0.0:
+            drop = jax.random.uniform(k_mask, lat.shape) \
+                < self.latent_mask_ratio
+            dec_in = jnp.where(drop, 0.0, lat)
+        decoded = self.vae.apply(vae_params, dec_in,
+                                 method=self.vae.decode)
         t = min(decoded.shape[-1], reals.shape[-1])
-        return decoded[..., :t], reals[..., :t], kl
+        return decoded[..., :t], reals[..., :t], kl, lat
 
     def gen_loss(self, vae_params, disc_params, key: Array, reals: Array,
                  warmed_up: bool):
         """(reference: autoencoders.py:162-250, 420-470)."""
         cfg = self.loss_cfg
         freeze = warmed_up and self.encoder_freeze_on_warmup
-        decoded, reals_t, kl = self._roundtrip(vae_params, key, reals,
-                                               freeze_encoder=freeze)
+        decoded, reals_t, kl, lat = self._roundtrip(vae_params, key, reals,
+                                                    freeze_encoder=freeze)
         losses: Dict[str, Array] = {}
         losses["mrstft"] = cfg.mrstft * auraloss.multi_resolution_stft_loss(
             decoded, reals_t, fft_sizes=cfg.fft_sizes,
@@ -128,6 +145,34 @@ class AutoencoderTrainer:
         if cfg.l1 > 0:
             losses["l1"] = cfg.l1 * auraloss.l1_loss(decoded, reals_t)
         losses["kl"] = cfg.kl * kl
+        if self.teacher_vae is not None:
+            # distillation (reference: autoencoders.py:171-179, 404-409):
+            # four terms tying the student's latent space and both
+            # encode/decode directions to the frozen teacher
+            tp = jax.tree.map(jax.lax.stop_gradient, self.teacher_params)
+            t_lat = self.teacher_vae.apply(tp, reals, key=None,
+                                           method=self.teacher_vae.encode)
+            t_dec = self.teacher_vae.apply(tp, t_lat,
+                                           method=self.teacher_vae.decode)
+            own_lat_t_dec = self.teacher_vae.apply(
+                tp, lat, method=self.teacher_vae.decode)
+            t_lat_own_dec = self.vae.apply(vae_params, t_lat,
+                                           method=self.vae.decode)
+            w = cfg.mrstft
+
+            def mr(a, b):
+                t = min(a.shape[-1], b.shape[-1])
+                return auraloss.multi_resolution_stft_loss(
+                    a[..., :t], b[..., :t], fft_sizes=cfg.fft_sizes,
+                    hop_sizes=cfg.hop_sizes, sample_rate=cfg.sample_rate,
+                    perceptual_weighting=cfg.perceptual_weighting)
+
+            losses["latent_distill"] = w * jnp.mean((t_lat - lat) ** 2)
+            losses["mrstft_distill"] = w * mr(decoded, t_dec)
+            losses["mrstft_own_latents_teacher"] = \
+                w * mr(own_lat_t_dec, reals_t)
+            losses["mrstft_teacher_latents_own"] = \
+                w * mr(t_lat_own_dec, reals_t)
         if self.disc is not None and disc_params is not None and warmed_up:
             # family-generic dispatch: encodec/oobleck hinge losses or
             # DAC/BigVGAN least-squares losses
@@ -159,7 +204,7 @@ class AutoencoderTrainer:
                            **{f"train/{k}": v for k, v in aux.items()}}
 
     def disc_step(self, state: AutoencoderState, key: Array, reals: Array):
-        decoded, reals_t, _ = self._roundtrip(
+        decoded, reals_t, _, _ = self._roundtrip(
             jax.tree.map(jax.lax.stop_gradient, state.vae_params), key,
             reals)
 

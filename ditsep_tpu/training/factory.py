@@ -73,12 +73,39 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
             return create_optimizer_from_config(oc["optimizer"],
                                                 oc.get("scheduler"))
 
+        teacher_vae = None
+        teacher_params = None
+        t_cfg = training.get("teacher_model")
+        if t_cfg is not None:
+            # (reference: factory.py:29-40 — the teacher is built from
+            # its own model config and MUST come with weights)
+            ckpt = training.get("teacher_model_ckpt")
+            if ckpt is None:
+                raise ValueError(
+                    "teacher_model_ckpt must be specified if "
+                    "teacher_model is specified")
+            import jax
+
+            from ditsep_tpu.models.factory import create_model_from_config
+            from ditsep_tpu.utils.checkpoint import load_params_npz
+            teacher_vae = create_model_from_config(t_cfg)
+            dummy = jax.numpy.zeros(
+                (1, t_cfg["model"].get("encoder", {}).get(
+                    "config", {}).get("in_channels", 1),
+                 4 * teacher_vae.downsampling_ratio))
+            template = jax.jit(teacher_vae.init)(
+                jax.random.PRNGKey(0), dummy)
+            teacher_params = {"params": load_params_npz(
+                ckpt, template["params"])}
+
         return AutoencoderTrainer(
             vae=model, disc=disc, loss_cfg=loss_cfg,
             lr=training.get("learning_rate", 1.5e-4),
             warmup_steps=training.get("warmup_steps", 0),
             encoder_freeze_on_warmup=training.get(
                 "encoder_freeze_on_warmup", False),
+            latent_mask_ratio=training.get("latent_mask_ratio", 0.0),
+            teacher_vae=teacher_vae, teacher_params=teacher_params,
             vae_tx=tx_for("autoencoder"), disc_tx=tx_for("discriminator"))
 
     if model_type == "diffusion_autoencoder":

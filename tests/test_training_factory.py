@@ -457,3 +457,51 @@ def test_train_stable_resume(tmp_path):
                   "--max-steps", "12", "--cpu"])
     np.testing.assert_allclose(m["train/loss"], fresh["train/loss"],
                                rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_latent_mask_and_teacher_distillation(tmp_path):
+    """latent_mask_ratio zeroes random latents before decode; a teacher
+    model (loaded from an npz checkpoint) adds the four distillation
+    terms (reference: autoencoders.py:171-179,404-415,
+    factory.py:29-43)."""
+    import numpy as np
+
+    from ditsep_tpu.utils.checkpoint import save_params_npz
+
+    cfg = {
+        "model_type": "autoencoder",
+        "sample_rate": 8000,
+        "model": _tiny_oobleck_model_block(),
+        "training": {
+            "learning_rate": 1e-3,
+            "latent_mask_ratio": 0.3,
+        },
+    }
+    model = create_model_from_config(cfg)
+    reals = jax.random.normal(KEY, (2, 1, 128)) * 0.3
+    teacher_params = model.init(KEY, reals)
+    ckpt = tmp_path / "teacher.npz"
+    save_params_npz(str(ckpt), teacher_params["params"])
+
+    cfg["training"]["teacher_model"] = {
+        "model_type": "autoencoder", "sample_rate": 8000,
+        "model": _tiny_oobleck_model_block()}
+    cfg["training"]["teacher_model_ckpt"] = str(ckpt)
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.latent_mask_ratio == 0.3 and tr.teacher_vae is not None
+
+    state = tr.init_state(model.init(jax.random.PRNGKey(1), reals))
+    state, m = tr.gen_step(state, KEY, reals, warmed_up=False)
+    for k in ("train/latent_distill", "train/mrstft_distill",
+              "train/mrstft_own_latents_teacher",
+              "train/mrstft_teacher_latents_own"):
+        assert np.isfinite(float(m[k])) and float(m[k]) > 0, k
+
+    # without a ckpt the factory refuses, like the reference
+    import pytest
+    bad = dict(cfg)
+    bad["training"] = {k: v for k, v in cfg["training"].items()
+                       if k != "teacher_model_ckpt"}
+    with pytest.raises(ValueError):
+        create_trainer_from_config(bad, model)
