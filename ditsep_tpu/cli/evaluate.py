@@ -37,9 +37,15 @@ def main(argv=None):
                    help="pad utterances up to multiples of this many "
                         "samples (fewer distinct bucket shapes = fewer "
                         "XLA compiles)")
-    p.add_argument("--max-buckets", type=int, default=8,
+    p.add_argument("--max-buckets", type=int, default=24,
                    help="cap on distinct padded length shapes (each costs "
-                        "one XLA compile); sparse buckets consolidate")
+                        "one XLA compile); sparse buckets consolidate. "
+                        "Buckets follow the score model's 64-frame STFT "
+                        "blocks; merging past the cap pads some "
+                        "utterances beyond their native frame block, "
+                        "which measurably costs quality (see "
+                        "docs/pad_dilution_r03.md) — keep this at or "
+                        "above the block count for parity evals")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed warmup call per bucket shape "
                         "(compile time then lands in 'runtime')")
@@ -82,7 +88,7 @@ def main(argv=None):
         res = evaluate_dataset(
             sep, ds, fs=cfg["datamodule"].get("fs", 8000),
             batch_size=args.eval_batch_size, nfe=0,
-            bucket_multiple=args.bucket_multiple,
+            bucket_multiple=args.bucket_multiple, frame_spec=None,
             max_buckets=args.max_buckets, out_dir=args.out_dir,
             split_name=cfg["datamodule"]["test"]["split"],
             limit=args.limit, seed=args.seed, warmup=False)
@@ -135,10 +141,19 @@ def main(argv=None):
         sep = lambda k, mix: sep_p(params, k, mix)
     nfe = (args.sampler_N if args.sampler == "ab2"
            else args.sampler_N * (args.corrector_steps + 1))
+    sm = cfg["model"]["score_model"]
+    # waveform path: bucket by the score model's own STFT frame blocks
+    # (quality parity with native-length eval — see eval/evaluate.py);
+    # latent path: the latent score net pads T_lat to a tiny multiple
+    # (max_latent_length=4), so dilution is negligible and sample-domain
+    # buckets are fine.
+    frame_spec = (None if args.latent
+                  else (sm.get("n_fft", 510), sm.get("hop_length", 128), 64))
     res = evaluate_dataset(
         sep, ds, fs=cfg["datamodule"].get("fs", 8000),
         batch_size=args.eval_batch_size, nfe=nfe, mesh=mesh,
-        bucket_multiple=args.bucket_multiple, max_buckets=args.max_buckets,
+        bucket_multiple=args.bucket_multiple, frame_spec=frame_spec,
+        max_buckets=args.max_buckets,
         out_dir=args.out_dir,
         split_name=cfg["datamodule"]["test"]["split"], limit=args.limit,
         seed=args.seed, save_samples=args.save_samples,

@@ -163,9 +163,14 @@ class SyntheticMixDataset:
 
 
 def max_collator(batch: Sequence[Tuple[np.ndarray, ...]],
-                 pad_to: Optional[int] = None):
+                 pad_to: Optional[int] = None, align: str = "center"):
     """Pad every signal to the longest (or to `pad_to`), centered
-    (reference: src/datasets/wsj0_mix.py:104-120)."""
+    (reference: src/datasets/wsj0_mix.py:104-120).
+
+    ``align='left'`` puts all padding at the end instead, so padded
+    waveforms have trailing quiet exactly like the score model's own
+    %64 frame padding — the layout the reference model sees at native
+    lengths (used by the eval harness; see eval/evaluate.py)."""
     max_len = max(b[0].shape[-1] for b in batch)
     if pad_to is not None:
         max_len = max(max_len, pad_to)
@@ -176,7 +181,7 @@ def max_collator(batch: Sequence[Tuple[np.ndarray, ...]],
         for b in batch:
             x = b[i]
             pad = max_len - x.shape[-1]
-            lo = pad // 2
+            lo = 0 if align == "left" else pad // 2
             arrs.append(np.pad(x, [(0, 0)] * (x.ndim - 1)
                                + [(lo, pad - lo)]))
         out.append(np.stack(arrs))

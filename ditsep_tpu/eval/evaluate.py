@@ -28,6 +28,60 @@ from ditsep_tpu.eval.metrics import compute_metrics
 Array = jax.Array
 
 
+def _stft_frames(L: int, n_fft: int, hop: int) -> int:
+    """Frame count the score model's STFT produces for an L-sample
+    waveform (pre-padded by n_fft-hop; see models/score_models.py
+    pre_process, reference: src/models/diffsep/score_models.py:107-116)."""
+    return (L + (n_fft - hop)) // hop + 1
+
+
+def _bucket_lengths_frames(lengths, frame_spec, max_buckets: int):
+    """Frame-block-aware bucketing: group utterances so that padding
+    NEVER pushes one across a 64-frame block boundary.
+
+    Why this matters (measured, docs/pad_dilution_r03.md): the score
+    model zero-pads STFT frames to a multiple of 64 (reference:
+    score_models.py:83-91), so every utterance already carries
+    `64*ceil(frames/64) - frames` quiet columns through the U-Net's
+    GroupNorms. Padding an utterance past its own block boundary jumps
+    that quiet fraction discontinuously (e.g. 1% -> 21%), far outside
+    the training condition, and separation quality falls off a cliff
+    (+10 dB -> -8 dB on a trained checkpoint). Bucketing by frame block
+    keeps each utterance's quiet fraction IDENTICAL to the reference's
+    native-length, batch-size-1 evaluation — sample-domain zero padding
+    and frame-domain zero padding are the same dilution.
+
+    Returns {index: padded_length}. Distinct padded lengths are capped
+    at `max_buckets` by merging the smallest-count blocks upward (with
+    a warning — merged utterances lose native-equivalence)."""
+    n_fft, hop, block = frame_spec
+    blocks: Dict[int, list] = {}
+    for i, L in enumerate(lengths):
+        b = -(-_stft_frames(L, n_fft, hop) // block)
+        blocks.setdefault(b, []).append(i)
+    native = {i: b for b, idxs in blocks.items() for i in idxs}
+    if len(blocks) > max_buckets:
+        # merge smallest-population blocks into the next block up
+        # (the largest block has nowhere to go and never merges)
+        while len(blocks) > max_buckets:
+            order = sorted(blocks)
+            cand = min(order[:-1], key=lambda b: len(blocks[b]))
+            nxt = order[order.index(cand) + 1]
+            blocks[nxt] = blocks[nxt] + blocks.pop(cand)
+        moved = sum(1 for b, idxs in blocks.items()
+                    for i in idxs if native[i] != b)
+        print(f"[evaluate] merged {moved} utterances into higher "
+              f"frame blocks to respect max_buckets={max_buckets}; "
+              f"their padded quiet fraction exceeds native eval "
+              f"(raise --max-buckets for strict native parity)")
+    out = {}
+    for b, idxs in blocks.items():
+        pad_len = max(lengths[i] for i in idxs)
+        for i in idxs:
+            out[i] = pad_len
+    return out
+
+
 def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
     """Map each utterance length to a static padded length, capping the
     number of distinct padded shapes at `max_buckets` (each distinct
@@ -75,6 +129,7 @@ def evaluate_dataset(
     fs: int = 8000,
     batch_size: int = 4,
     bucket_multiple: int = 4096,
+    frame_spec: Optional[tuple] = (510, 128, 64),
     max_buckets: int = 8,
     nfe: int = 60,
     mesh=None,
@@ -103,9 +158,17 @@ def evaluate_dataset(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_items = len(dataset) if limit is None else min(limit, len(dataset))
-    # group indices into static-length buckets (capped distinct shapes)
+    # group indices into static-length buckets (capped distinct shapes);
+    # frame_spec = (n_fft, hop, block) of the score model's STFT keeps
+    # padding inside each utterance's own %64 frame block — REQUIRED for
+    # quality parity with the reference's unpadded batch-1 eval (see
+    # _bucket_lengths_frames / docs/pad_dilution_r03.md). Pass
+    # frame_spec=None (e.g. the latent path) for sample-domain buckets.
     lengths = [dataset[i][0].shape[-1] for i in range(n_items)]
-    assigned = _bucket_lengths(lengths, bucket_multiple, max_buckets)
+    if frame_spec is not None:
+        assigned = _bucket_lengths_frames(lengths, frame_spec, max_buckets)
+    else:
+        assigned = _bucket_lengths(lengths, bucket_multiple, max_buckets)
     buckets: Dict[int, list] = {}
     for i in range(n_items):
         buckets.setdefault(assigned[i], []).append(i)
@@ -135,7 +198,9 @@ def evaluate_dataset(
             n_real = len(items)
             while len(items) < eff_batch:  # static batch shape
                 items.append(items[-1])
-            mix_b, tgt_b = max_collator(items, pad_to=blen)
+            # left-aligned: padding is trailing quiet, the same layout as
+            # the model's own %64 frame pad (and the reference's)
+            mix_b, tgt_b = max_collator(items, pad_to=blen, align="left")
             mix_j = jax.numpy.asarray(mix_b)
             if sharding is not None:
                 mix_j = jax.device_put(mix_j, sharding)
@@ -151,9 +216,7 @@ def evaluate_dataset(
             for bi in range(n_real):
                 i = chunk[bi]
                 L = lengths[i]
-                pad = blen - L
-                lo = pad // 2  # max_collator centers
-                sl = slice(lo, lo + L)
+                sl = slice(0, L)  # left-aligned collation
                 futures[i] = pool.submit(
                     _metrics_entry, i, np.asarray(mix_b[bi][:, sl]),
                     est[bi][:, sl], np.asarray(tgt_b[bi][:, sl]), fs,

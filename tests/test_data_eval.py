@@ -197,6 +197,55 @@ def test_bucket_consolidation_cap(capsys):
     assert len(set(a2.values())) == 2  # 5000/5100 round together
 
 
+def test_frame_block_bucketing():
+    """Eval buckets must never pad an utterance past its own 64-frame STFT
+    block: the score model zero-pads frames to %64 (so every utterance
+    already carries quiet columns through GroupNorm), and pushing one
+    into the NEXT block jumps that quiet fraction discontinuously, which
+    measurably destroys separation quality (+10 dB -> -8 dB on a trained
+    checkpoint; docs/pad_dilution_r03.md). Frame-block bucketing keeps
+    the quiet fraction identical to the reference's unpadded batch-1
+    eval (reference: src/evaluate_mp.py:281-290 + score_models.py:83-91)."""
+    from ditsep_tpu.eval.evaluate import _bucket_lengths_frames, _stft_frames
+
+    spec = (510, 128, 64)
+    blk = lambda L: -(-_stft_frames(L, 510, 128) // 64)
+    rng = np.random.default_rng(3)
+    lengths = [int(x) for x in rng.integers(16000, 200000, 200)]
+    a = _bucket_lengths_frames(lengths, spec, max_buckets=32)
+    for i, L in enumerate(lengths):
+        assert a[i] >= L
+        assert blk(a[i]) == blk(L), (L, a[i])
+    # the measured cliff case: 32000-sample items must NOT pad to 32512+
+    a32 = _bucket_lengths_frames([32000, 31000, 32256], spec, 8)
+    assert all(blk(v) == blk(32000) == 4 for v in a32.values())
+    assert max(a32.values()) == 32256
+
+
+def test_frame_block_cap_merges(capsys):
+    """Over max_buckets, the smallest blocks merge upward (never down,
+    so padded >= native always holds) and the loss of native parity is
+    announced."""
+    from ditsep_tpu.eval.evaluate import _bucket_lengths_frames
+
+    lengths = list(range(16000, 160001, 4111))
+    a = _bucket_lengths_frames(lengths, (510, 128, 64), max_buckets=4)
+    assert len(set(a.values())) <= 4
+    assert all(a[i] >= L for i, L in enumerate(lengths))
+    assert "merged" in capsys.readouterr().out
+
+
+def test_max_collator_left_align():
+    """align='left' puts all padding at the end (the layout the score
+    model's own %64 frame pad produces), so eval slices are [0:L]."""
+    items = [(np.ones((1, 10), np.float32), np.ones((2, 10), np.float32)),
+             (np.ones((1, 6), np.float32), np.ones((2, 6), np.float32))]
+    mix, tgt = max_collator(items, pad_to=12, align="left")
+    assert mix.shape == (2, 1, 12) and tgt.shape == (2, 2, 12)
+    assert mix[1, 0, :6].all() and not mix[1, 0, 6:].any()
+    assert tgt[0, :, :10].all() and not tgt[0, :, 10:].any()
+
+
 def test_evaluate_dataset_end_to_end(tmp_path):
     """Oracle separator (returns the true sources) must score near-perfect
     and produce reference-schema JSON artifacts."""
@@ -206,6 +255,7 @@ def test_evaluate_dataset_end_to_end(tmp_path):
 
     def separate_fn(key, mix):
         # cheat: look up targets by matching batch content on host
+        # (eval collation is left-aligned: padding is all trailing)
         out = []
         mix_np = np.asarray(mix)
         for b in range(mix_np.shape[0]):
@@ -216,10 +266,9 @@ def test_evaluate_dataset_end_to_end(tmp_path):
                 pad = T - t
                 if pad < 0:
                     continue
-                lo = pad // 2
-                padded = np.pad(tgt.sum(0), (lo, pad - lo))
+                padded = np.pad(tgt.sum(0), (0, pad))
                 if np.allclose(padded, mix_np[b, 0], atol=1e-5):
-                    found = np.pad(tgt, ((0, 0), (lo, pad - lo)))
+                    found = np.pad(tgt, ((0, 0), (0, pad)))
                     break
             out.append(found)
         return jnp.asarray(np.stack(out))
