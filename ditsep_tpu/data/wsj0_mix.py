@@ -214,12 +214,29 @@ class BucketedLoader:
     shuffle: bool = True
     seed: int = 0
     drop_remainder: bool = False
+    # (n_fft, hop, block) of the score model's STFT: bucket boundaries
+    # then fall on 64-frame block edges so padding never pushes an item
+    # across its own frame block (the quality-dilution cliff measured in
+    # docs/pad_dilution_r03.md — matters for val/si_sdr monitoring,
+    # which drives checkpoint selection). None keeps sample-domain
+    # buckets (latent/VAE paths).
+    frame_spec: Optional[Tuple[int, int, int]] = None
 
     def __post_init__(self):
         self._lengths = [self.dataset[i][0].shape[-1]
                          for i in range(len(self.dataset))]
-        self._bounds = length_buckets(self._lengths, self.n_buckets,
-                                      self.multiple)
+        if self.frame_spec is not None:
+            n_fft, hop, block = self.frame_spec
+            pre = n_fft - hop
+            # largest sample count whose STFT stays within each k-block:
+            # frames(L) = (L+pre)//hop + 1 <= k*block
+            blocks = sorted({-(-((L + pre) // hop + 1) // block)
+                             for L in self._lengths})
+            self._bounds = [(k * block - 1) * hop - pre + (hop - 1)
+                            for k in blocks]
+        else:
+            self._bounds = length_buckets(self._lengths, self.n_buckets,
+                                          self.multiple)
 
     def bucket_of(self, length: int) -> int:
         for b in self._bounds:

@@ -123,9 +123,19 @@ def fit(
                             shuffle=True, seed=seed)
     val_loader = None
     if val_dataset is not None:
+        # val separation drives checkpoint selection (monitor val/si_sdr,
+        # reference: src/train_diffsep.py:116-124): pad val batches only
+        # within each utterance's own 64-frame STFT block, else the
+        # added GroupNorm dilution distorts the monitored metric
+        # (docs/pad_dilution_r03.md). Latent/VAE models (no n_fft) keep
+        # sample-domain buckets.
+        m = trainer.model
+        frame_spec = ((m.n_fft, m.hop_length, 64)
+                      if hasattr(m, "n_fft") and hasattr(m, "hop_length")
+                      else None)
         val_loader = BucketedLoader(val_dataset, batch_size=batch_size,
                                     n_buckets=2, multiple=bucket_multiple,
-                                    shuffle=False)
+                                    shuffle=False, frame_spec=frame_spec)
 
     global_step = int(state.step)
     try:

@@ -235,6 +235,27 @@ def test_frame_block_cap_merges(capsys):
     assert "merged" in capsys.readouterr().out
 
 
+def test_bucketed_loader_frame_spec():
+    """With frame_spec, training/val bucket boundaries fall on 64-frame
+    STFT block edges, so no item is padded past its own block (the
+    val/si_sdr monitor then sees native-equivalent quality)."""
+    from ditsep_tpu.data.wsj0_mix import BucketedLoader
+
+    ds = SyntheticMixDataset(n_items=10, min_len_s=2.0, max_len_s=6.0,
+                             seed=1)
+    bl = BucketedLoader(ds, batch_size=2, shuffle=False,
+                        frame_spec=(510, 128, 64))
+    blk = lambda L: -(-((L + 382) // 128 + 1) // 64)
+    for i in range(len(ds)):
+        L = ds[i][0].shape[-1]
+        assert bl.bucket_of(L) >= L
+        assert blk(bl.bucket_of(L)) == blk(L)
+    for mix, tgt in bl:
+        assert mix.shape[0] == 2
+        # padded length sits exactly at a block boundary
+        assert (mix.shape[-1] + 382) // 128 + 1 == blk(mix.shape[-1]) * 64
+
+
 def test_max_collator_left_align():
     """align='left' puts all padding at the end (the layout the score
     model's own %64 frame pad produces), so eval slices are [0:L]."""
