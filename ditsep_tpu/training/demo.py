@@ -136,6 +136,40 @@ class LMDemoCallback:
                       self.num_demos)
 
 
+@dataclasses.dataclass(frozen=True)
+class SeparationDemoCallback:
+    """Separate a fixed demo mixture periodically during diffsep-family
+    training and log mix/estimates/targets (the reference's
+    LDMDemoCallback analogue for score training, src/ldm.py:630-726).
+    Plugs into ``training.loop.fit(callbacks=(...,))``: the loop calls
+    ``cb(logger, step, trainer, state, key)`` whenever ``due(step)``."""
+
+    demo_batch: Any  # (mix (B,1,T), target (B,n,T)) numpy/jnp arrays
+    demo_every: int = 2000
+    sample_rate: int = 8000
+    max_num_sample: int = 2
+    sampler_N: Optional[int] = None  # None = trainer's configured N
+
+    def due(self, step: int) -> bool:
+        return self.demo_every > 0 and step % self.demo_every == 0
+
+    def __call__(self, logger, step: int, trainer, state, key) -> None:
+        import jax.numpy as jnp
+        mix, target = self.demo_batch
+        mix = jnp.asarray(mix)
+        kw = {"N": self.sampler_N} if self.sampler_N else {}
+        # EMA params at demo time, like validation (src/diffsep.py:586)
+        est, _ = trainer.separate(state.ema_params, key, mix, **kw)
+        _log_wavs(logger, "demo/mix", mix, step, self.sample_rate,
+                  self.max_num_sample)
+        for s in range(est.shape[1]):
+            _log_wavs(logger, f"demo/est_{s}", est[:, s:s + 1], step,
+                      self.sample_rate, self.max_num_sample)
+            _log_wavs(logger, f"demo/target_{s}",
+                      jnp.asarray(target)[:, s:s + 1], step,
+                      self.sample_rate, self.max_num_sample)
+
+
 def create_demo_callback_from_config(model_config: Dict[str, Any],
                                      **kwargs):
     """Dispatch on model_type like the reference factory

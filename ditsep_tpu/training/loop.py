@@ -63,6 +63,7 @@ def fit(
     log_media: bool = True,
     media_fs: int = 8000,
     prefetch_depth: int = 0,
+    callbacks: tuple = (),
 ):
     """Train a DiffSepTrainer (or compatible) to convergence."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -143,7 +144,7 @@ def fit(
             trainer, state, loader, val_loader, step_fn, val_loss_fn,
             val_sep_fn, key, mesh, logger, ckpt, global_step, max_epochs,
             max_steps, log_every, valid_max_sep_batches, seed,
-            log_media, media_fs, prefetch_depth)
+            log_media, media_fs, prefetch_depth, callbacks)
     except Exception:
         # emergency checkpoint so a crash loses at most one epoch
         # (the reference only prints exceptions, src/train_ldm.py:16-18)
@@ -216,7 +217,8 @@ def _log_val_media(logger, batch, est, step: int, fs: int) -> None:
 def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
                   val_sep_fn, key, mesh, logger, ckpt, global_step,
                   max_epochs, max_steps, log_every, valid_max_sep_batches,
-                  seed, log_media=True, media_fs=8000, prefetch_depth=0):
+                  seed, log_media=True, media_fs=8000, prefetch_depth=0,
+                  callbacks=()):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -242,6 +244,21 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
             if global_step % log_every == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            global_step)
+            # step callbacks (the reference's Lightning callback hook
+            # point, e.g. demo callbacks from training/demo.py or the
+            # factory's create_demo_callback_from_config; reference:
+            # src/stable_audio_tools/training/factory.py:160-245).
+            # A callback exposes due(step) and
+            # __call__(logger, step, trainer, state, key); failures must
+            # never take down a training run (media only).
+            for cb in callbacks:
+                if cb.due(global_step):
+                    key, k_cb = jax.random.split(key)
+                    try:
+                        cb(logger, global_step, trainer, state, k_cb)
+                    except Exception as e:  # pragma: no cover
+                        print(f"[fit] callback {type(cb).__name__} "
+                              f"failed at step {global_step}: {e}")
             if max_steps is not None and global_step >= max_steps:
                 stop = True
                 break

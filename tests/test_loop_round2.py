@@ -97,3 +97,30 @@ def test_prefetch_preserves_order_and_propagates_errors():
     except RuntimeError as e:
         raised = "loader boom" in str(e)
     assert raised
+
+
+@pytest.mark.slow
+def test_fit_step_callbacks(tmp_path):
+    """fit(callbacks=...) fires due() callbacks with
+    (logger, step, trainer, state, key) — the Lightning-callback hook
+    point (reference: demo callbacks, src/ldm.py:630-726)."""
+    from ditsep_tpu.data import SyntheticMixDataset
+    from ditsep_tpu.training.demo import SeparationDemoCallback
+    from ditsep_tpu.training.loop import fit
+
+    tr = _tiny_trainer({"score": 0, "sep": 0})
+    ds = SyntheticMixDataset(n_items=4, min_len_s=0.5, max_len_s=0.5)
+    mix0, tgt0 = ds[0]
+    cb = SeparationDemoCallback(
+        demo_batch=(mix0[None], tgt0[None]), demo_every=2,
+        sampler_N=2, max_num_sample=1)
+    wd = str(tmp_path / "run")
+    fit(tr, ds, None, workdir=wd, max_epochs=1, batch_size=2,
+        n_buckets=1, bucket_multiple=4096, max_steps=2,
+        log_media=False, callbacks=(cb,))
+
+    import glob
+    events = glob.glob(f"{wd}/tb/events*")
+    assert events
+    blob = b"".join(open(e, "rb").read() for e in events)
+    assert b"demo/est_0" in blob and b"demo/mix" in blob
