@@ -57,6 +57,14 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 score-net compute (validated 47-80 dB "
                         "SI-SDR agreement vs f32 through the sampler)")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="padding-robust scoring (extension beyond the "
+                        "reference): mask each utterance's trailing "
+                        "quiet frames out of GroupNorm/attention "
+                        "statistics, removing the %%64 frame-pad "
+                        "quality dilution at any bucket size "
+                        "(docs/pad_dilution_r03.md). Works with "
+                        "unmasked-trained checkpoints")
     p.add_argument("--no-proc", action="store_true",
                    help="mixture baseline: score the raw mix, no model "
                         "(reference ckpt sentinel __no_proc__)")
@@ -71,6 +79,8 @@ def main(argv=None):
     cfg = load_config(args.config, args.override)
     if args.bf16:
         cfg["model"]["score_model"]["dtype"] = "bfloat16"
+    if args.mask_padding:
+        cfg["model"]["score_model"]["mask_padding"] = True
 
     ds = make_dataset(cfg, "test", args.data_path, args.synthetic,
                       synthetic_items=args.synthetic_items,
@@ -133,6 +143,12 @@ def main(argv=None):
             p, vp, k, mix, target_dim=mix.shape[-1],
             N=args.sampler_N)[0])
         sep = lambda k, mix: sep_p(params, vae_params, k, mix)
+    elif args.mask_padding:
+        sep_p = jax.jit(lambda p, k, mix, lens: trainer.separate(
+            p, k, mix, N=args.sampler_N, snr=args.snr,
+            corrector_steps=args.corrector_steps,
+            sampler=args.sampler, lengths=lens)[0])
+        sep = lambda k, mix, lens: sep_p(params, k, mix, lens)
     else:
         sep_p = jax.jit(lambda p, k, mix: trainer.separate(
             p, k, mix, N=args.sampler_N, snr=args.snr,
@@ -157,7 +173,8 @@ def main(argv=None):
         out_dir=args.out_dir,
         split_name=cfg["datamodule"]["test"]["split"], limit=args.limit,
         seed=args.seed, save_samples=args.save_samples,
-        save_figures=args.save_figures, warmup=not args.no_warmup)
+        save_figures=args.save_figures, warmup=not args.no_warmup,
+        pass_lengths=args.mask_padding and not args.latent)
     print(json.dumps(res["summary"], indent=2))
 
 

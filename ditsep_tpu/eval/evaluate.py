@@ -141,9 +141,16 @@ def evaluate_dataset(
     save_samples: int = 0,
     save_figures: int = 0,
     warmup: bool = True,
+    pass_lengths: bool = False,
 ) -> Dict:
     """Evaluate `separate_fn(key, mix (B,1,T)) -> est (B,n,T)` over a
     dataset of (mix, target) items.
+
+    ``pass_lengths=True`` calls ``separate_fn(key, mix, lengths)`` with
+    each item's true sample count — for mask_padding score models, which
+    mask every item's trailing quiet region out of normalization and
+    attention statistics (padding then costs nothing at any bucket
+    size; see docs/pad_dilution_r03.md).
 
     Returns {"results": per-utterance dict, "summary": mean dict}; writes
     `<split>.json` and `<split>_summary.json` when out_dir is given
@@ -204,12 +211,19 @@ def evaluate_dataset(
             mix_j = jax.numpy.asarray(mix_b)
             if sharding is not None:
                 mix_j = jax.device_put(mix_j, sharding)
+            args = ()
+            if pass_lengths:
+                lens = jax.numpy.asarray(
+                    [it[0].shape[-1] for it in items], dtype=jax.numpy.int32)
+                if sharding is not None:
+                    lens = jax.device_put(lens, sharding)
+                args = (lens,)
             key, sub = jax.random.split(key)
             if not warmed:  # absorb XLA compile outside the timing
-                _host_fence(separate_fn(sub, mix_j))
+                _host_fence(separate_fn(sub, mix_j, *args))
                 warmed = True
             t0 = time.perf_counter()
-            est = separate_fn(sub, mix_j)
+            est = separate_fn(sub, mix_j, *args)
             _host_fence(est)
             runtime = (time.perf_counter() - t0) / n_real
             est = np.asarray(est)

@@ -71,11 +71,29 @@ def conv1x1(out_ch: int, *, stride: int = 1, bias: bool = True,
     )
 
 
+def time_mask_to_gn(tmask, x):
+    """(B, W) frame-validity mask -> GroupNorm mask shaped like the NHWC
+    input x (flax GroupNorm reshapes the mask's channel axis into groups,
+    so it must be materialized, not left broadcastable): statistics are
+    then computed over valid frames only. Part of the padding-robust
+    ("masked") mode that removes the %64 frame-pad dilution measured in
+    docs/pad_dilution_r03.md."""
+    if tmask is None:
+        return None
+    return jnp.broadcast_to(tmask[:, None, :, None], x.shape)
+
+
+def pool_time_mask(tmask):
+    """Downsample a (B, W) frame mask by 2 (a pooled column is valid if
+    either source column was) to follow the U-Net resolution ladder."""
+    return jnp.logical_or(tmask[:, ::2], tmask[:, 1::2])
+
+
 class _IdentityNorm(nn.Module):
     """Profiling stand-in for GroupNorm (see DITSEP_ABLATE_NORM below)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, mask=None):
         return x
 
 
@@ -159,9 +177,10 @@ class AttnBlockpp(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, tmask: Optional[Array] = None) -> Array:
         b, hh, ww, c = x.shape
-        h = group_norm(c, name="GroupNorm_0", dtype=self.dtype)(x)
+        h = group_norm(c, name="GroupNorm_0", dtype=self.dtype)(
+            x, mask=time_mask_to_gn(tmask, x))
         q = NIN(c, name="NIN_0", dtype=self.dtype)(h)
         k = NIN(c, name="NIN_1", dtype=self.dtype)(h)
         v = NIN(c, name="NIN_2", dtype=self.dtype)(h)
@@ -170,6 +189,11 @@ class AttnBlockpp(nn.Module):
         k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
         w = jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5)
+        if tmask is not None:
+            # keys in padded frames must not receive attention mass;
+            # a key position (f, t) is valid iff frame t is
+            kmask = jnp.broadcast_to(tmask[:, None, :], (b, hh, ww))
+            w = jnp.where(kmask.reshape(b, 1, hh * ww), w, -1e9)
         w = jax.nn.softmax(w, axis=-1)
         h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(b, hh, ww, c)
         h = NIN(c, init_scale=self.init_scale, name="NIN_3",
@@ -297,10 +321,12 @@ class ResnetBlockDDPMpp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
-                 *, deterministic: bool = True) -> Array:
+                 *, deterministic: bool = True,
+                 tmask: Optional[Array] = None) -> Array:
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0", dtype=self.dtype)(x))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0", dtype=self.dtype)(
+            x, mask=time_mask_to_gn(tmask, x)))
         h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
@@ -308,7 +334,8 @@ class ResnetBlockDDPMpp(nn.Module):
                 bias_init=nn.initializers.zeros, name="Dense_0",
                 dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1", dtype=self.dtype)(h))
+        h = self.act(group_norm(out_ch, name="GroupNorm_1", dtype=self.dtype)(
+            h, mask=time_mask_to_gn(tmask, h)))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
                     dtype=self.dtype)(h)
@@ -340,10 +367,16 @@ class ResnetBlockBigGANpp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
-                 *, deterministic: bool = True) -> Array:
+                 *, deterministic: bool = True,
+                 tmask: Optional[Array] = None,
+                 tmask_out: Optional[Array] = None) -> Array:
+        """``tmask`` masks GroupNorm statistics at the input resolution,
+        ``tmask_out`` at the post-up/down resolution (defaults to tmask
+        when the block does not resample)."""
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0", dtype=self.dtype)(x))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0", dtype=self.dtype)(
+            x, mask=time_mask_to_gn(tmask, x)))
 
         if self.up:
             if self.fir:
@@ -367,7 +400,10 @@ class ResnetBlockBigGANpp(nn.Module):
                 bias_init=nn.initializers.zeros, name="Dense_0",
                 dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1", dtype=self.dtype)(h))
+        gmask_out = time_mask_to_gn(
+            tmask_out if (self.up or self.down) else tmask, h)
+        h = self.act(group_norm(out_ch, name="GroupNorm_1",
+                                dtype=self.dtype)(h, mask=gmask_out))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
                     dtype=self.dtype)(h)

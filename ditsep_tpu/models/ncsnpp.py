@@ -223,13 +223,29 @@ class NCSNpp(nn.Module):
             name="output_layer")
 
     def __call__(self, x: Array, time_cond: Array, *,
-                 train: bool = False) -> Array:
+                 train: bool = False,
+                 time_mask: Array = None) -> Array:
         """Args: x (B, H, W, C_in) NHWC; time_cond (B,).
         Returns (B, H, W, C_out). Mirrors the reference index walk
-        (reference: ncsnpp.py:320-478)."""
+        (reference: ncsnpp.py:320-478).
+
+        ``time_mask`` (B, W) bool marks valid time columns; when given,
+        every GroupNorm computes statistics over valid columns only and
+        attention keys in padded columns are masked out. This removes
+        the %64 frame-pad dilution the reference architecture suffers at
+        unlucky utterance lengths (measured: docs/pad_dilution_r03.md) —
+        an extension beyond the reference; omit for exact reference
+        semantics (e.g. imported checkpoints)."""
         modules = self.all_modules
         m_idx = 0
         det = not train
+
+        if time_mask is None:
+            masks = [None] * self.num_resolutions
+        else:
+            masks = [time_mask.astype(bool)]
+            for _ in range(self.num_resolutions - 1):
+                masks.append(L.pool_time_mask(masks[-1]))
 
         used_sigmas = time_cond
         temb = modules[m_idx](jnp.log(used_sigmas))
@@ -255,10 +271,11 @@ class NCSNpp(nn.Module):
         # -- down path ------------------------------------------------------
         for i_level in range(self.num_resolutions):
             for i_block in range(self.num_res_blocks):
-                h = modules[m_idx](hs[-1], temb, deterministic=det)
+                h = modules[m_idx](hs[-1], temb, deterministic=det,
+                                   tmask=masks[i_level])
                 m_idx += 1
                 if self.all_resolutions[i_level] in self.attn_resolutions:
-                    h = modules[m_idx](h)
+                    h = modules[m_idx](h, tmask=masks[i_level])
                     m_idx += 1
                 hs.append(h)
             if i_level != self.num_resolutions - 1:
@@ -266,7 +283,9 @@ class NCSNpp(nn.Module):
                     h = modules[m_idx](hs[-1])
                     m_idx += 1
                 else:
-                    h = modules[m_idx](hs[-1], temb, deterministic=det)
+                    h = modules[m_idx](hs[-1], temb, deterministic=det,
+                                       tmask=masks[i_level],
+                                       tmask_out=masks[i_level + 1])
                     m_idx += 1
                 if self.progressive_input == "input_skip":
                     input_pyramid = self.pyramid_downsample(input_pyramid)
@@ -284,11 +303,11 @@ class NCSNpp(nn.Module):
 
         # -- middle ---------------------------------------------------------
         h = hs[-1]
-        h = modules[m_idx](h, temb, deterministic=det)
+        h = modules[m_idx](h, temb, deterministic=det, tmask=masks[-1])
         m_idx += 1
-        h = modules[m_idx](h)
+        h = modules[m_idx](h, tmask=masks[-1])
         m_idx += 1
-        h = modules[m_idx](h, temb, deterministic=det)
+        h = modules[m_idx](h, temb, deterministic=det, tmask=masks[-1])
         m_idx += 1
 
         pyramid = None
@@ -298,21 +317,22 @@ class NCSNpp(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = modules[m_idx](
                     jnp.concatenate([h, hs.pop()], axis=-1), temb,
-                    deterministic=det)
+                    deterministic=det, tmask=masks[i_level])
                 m_idx += 1
             if self.all_resolutions[i_level] in self.attn_resolutions:
-                h = modules[m_idx](h)
+                h = modules[m_idx](h, tmask=masks[i_level])
                 m_idx += 1
             if self.progressive != "none":
+                gm = L.time_mask_to_gn(masks[i_level], h)
                 if i_level == self.num_resolutions - 1:
-                    pyramid = self.act(modules[m_idx](h))
+                    pyramid = self.act(modules[m_idx](h, mask=gm))
                     m_idx += 1
                     pyramid = modules[m_idx](pyramid)
                     m_idx += 1
                 else:
                     if self.progressive == "output_skip":
                         pyramid = self.pyramid_upsample(pyramid)
-                        pyramid_h = self.act(modules[m_idx](h))
+                        pyramid_h = self.act(modules[m_idx](h, mask=gm))
                         m_idx += 1
                         pyramid_h = modules[m_idx](pyramid_h)
                         m_idx += 1
@@ -330,14 +350,17 @@ class NCSNpp(nn.Module):
                     h = modules[m_idx](h)
                     m_idx += 1
                 else:
-                    h = modules[m_idx](h, temb, deterministic=det)
+                    h = modules[m_idx](h, temb, deterministic=det,
+                                       tmask=masks[i_level],
+                                       tmask_out=masks[i_level - 1])
                     m_idx += 1
         assert not hs
 
         if self.progressive == "output_skip":
             h = pyramid
         else:
-            h = self.act(modules[m_idx](h))
+            h = self.act(modules[m_idx](
+                h, mask=L.time_mask_to_gn(masks[0], h)))
             m_idx += 1
             h = modules[m_idx](h)
             m_idx += 1

@@ -95,6 +95,13 @@ class ScoreModelNCSNpp(nn.Module):
     centered: bool = False
     dropout: float = 0.0
     fir: bool = True  # FIR (vs naive) resampling in the backbone
+    # padding-robust mode (extension beyond the reference): mask the %64
+    # frame pad (and, when per-item `lengths` are passed, each item's
+    # trailing quiet region) out of every GroupNorm statistic and
+    # attention row. Removes the length-dependent quality dilution
+    # measured in docs/pad_dilution_r03.md. Keep False for exact
+    # reference semantics / imported reference checkpoints.
+    mask_padding: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -143,11 +150,28 @@ class ScoreModelNCSNpp(nn.Module):
         return x
 
     def __call__(self, xt: Array, time_cond: Array, mix: Array, *,
-                 train: bool = False) -> Array:
-        """xt (B, n_src, T), time_cond (B,), mix (B, 1, T) -> (B, n_src, T)."""
+                 train: bool = False, lengths: Array = None) -> Array:
+        """xt (B, n_src, T), time_cond (B,), mix (B, 1, T) -> (B, n_src, T).
+
+        ``lengths`` (B,) int: valid sample count per item (≤ T), for
+        mask_padding mode — frames beyond each item's own STFT coverage
+        are masked out of normalization/attention statistics, so batch
+        padding no longer perturbs the scores of shorter items."""
         x = jnp.concatenate([xt, mix], axis=1)
         h, n_samples, n_pad = self.pre_process(x)
-        h = self.backbone(h, time_cond, train=train)
+        time_mask = None
+        if self.mask_padding:
+            n_frames = h.shape[2]
+            t_idx = jnp.arange(n_frames)
+            if lengths is None:
+                # static mask: only the %64 frame pad is invalid
+                time_mask = jnp.broadcast_to(
+                    t_idx < (n_frames - n_pad), (h.shape[0], n_frames))
+            else:
+                frames_valid = (lengths + (self.n_fft - self.hop_length)
+                                ) // self.hop_length + 1
+                time_mask = t_idx[None, :] < frames_valid[:, None]
+        h = self.backbone(h, time_cond, train=train, time_mask=time_mask)
         return self.post_process(h, n_samples, n_pad)
 
 

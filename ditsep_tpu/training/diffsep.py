@@ -130,10 +130,16 @@ class DiffSepTrainer:
 
     # -- score network with optional EDM preconditioning --------------------
     def model_fwd(self, params, xt: Array, time: Array, mix: Array, *,
-                  train: bool = False, rngs=None) -> Array:
-        """(reference: src/diffsep.py:341-343 and :813-830)."""
+                  train: bool = False, rngs=None, lengths=None) -> Array:
+        """(reference: src/diffsep.py:341-343 and :813-830).
+
+        ``lengths`` (B,) forwards per-item valid sample counts to
+        mask_padding score models (see models/score_models.py); None
+        keeps the exact reference call."""
         cfg = self.cfg
-        apply = partial(self.model.apply, params, train=train, rngs=rngs)
+        kw = {} if lengths is None else {"lengths": lengths}
+        apply = partial(self.model.apply, params, train=train, rngs=rngs,
+                        **kw)
         if not self.is_edm:
             return apply(xt, time, mix)
         sigma = self.sde.std(time)
@@ -392,6 +398,7 @@ class DiffSepTrainer:
                  snr: Optional[float] = None,
                  corrector_steps: Optional[int] = None,
                  sampler: str = "pc",
+                 lengths=None,
                  **kwargs) -> Tuple[Array, Any]:
         """Full separation: normalize -> reverse sampling -> denormalize
         (reference: src/diffsep.py:82-98 / :1204-1219). The sampler choice
@@ -402,7 +409,8 @@ class DiffSepTrainer:
         the reference)."""
         cfg = self.cfg
         (mix, _), mean, std = sep_utils.normalize_batch((mix, None))
-        score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
+        score_fn = lambda x, t, y: self.model_fwd(params, x, t, y,
+                                                  lengths=lengths)
         if self.is_edm:
             sde = self.sde
             if N is not None:
