@@ -41,6 +41,9 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--save-params", default=None,
                    help="npz path for the trained (EMA) params")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="train with padding-robust masked normalization "
+                        "(docs/pad_dilution_r03.md)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="if >0, run the separation eval every N steps and "
                         "print an interim JSON line (and snapshot "
@@ -52,6 +55,7 @@ def main():
         "model.score_model.nf": args.nf,
         "model.score_model.ch_mult": (1, 1, 2, 2),
         "model.score_model.attn_resolutions": (32,),
+        "model.score_model.mask_padding": args.mask_padding,
         "model.lr": args.lr,
     })
     trainer = build_diffsep_trainer(cfg)
