@@ -190,6 +190,12 @@ class LatentScoreModelNCSNpp(nn.Module):
     image_size: int = 64
     centered: bool = True
     dropout: float = 0.0
+    # padding-robust mode, as in ScoreModelNCSNpp: at typical 4 s / hop
+    # 2048 lengths the %max_latent_length pad is up to ~3 of ~16 latent
+    # frames — a LARGER statistics dilution than the waveform model's
+    # %64 pad (docs/pad_dilution_r03.md). `lengths` here are counts of
+    # valid LATENT frames per item.
+    mask_padding: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -206,16 +212,26 @@ class LatentScoreModelNCSNpp(nn.Module):
         )
 
     def __call__(self, xt: Array, time_cond: Array, mix: Array, *,
-                 train: bool = False) -> Array:
-        """xt (B, n_src, D, Tl), mix (B, 1, D, Tl) -> (B, n_src, D, Tl)."""
+                 train: bool = False, lengths: Array = None) -> Array:
+        """xt (B, n_src, D, Tl), mix (B, 1, D, Tl) -> (B, n_src, D, Tl).
+        ``lengths`` (B,) int: valid latent-frame count per item (≤ Tl),
+        for mask_padding mode."""
         x = jnp.concatenate([xt, mix], axis=1)  # (B, n_src+1, D, Tl)
         n_t = x.shape[-1]
         rem = n_t % self.max_latent_length
         n_pad = 0 if rem == 0 else self.max_latent_length - rem
         if n_pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
+        time_mask = None
+        if self.mask_padding:
+            t_idx = jnp.arange(n_t + n_pad)
+            if lengths is None:
+                time_mask = jnp.broadcast_to(
+                    t_idx < n_t, (x.shape[0], n_t + n_pad))
+            else:
+                time_mask = t_idx[None, :] < lengths[:, None]
         h = jnp.transpose(x, (0, 2, 3, 1))  # (B, D, Tl, C)
-        h = self.backbone(h, time_cond, train=train)
+        h = self.backbone(h, time_cond, train=train, time_mask=time_mask)
         h = jnp.transpose(h, (0, 3, 1, 2))  # (B, C, D, Tl)
         if n_pad:
             h = h[..., :-n_pad]

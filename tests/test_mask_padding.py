@@ -114,3 +114,25 @@ def test_masked_separate_with_lengths():
         p, k, m, N=2, lengths=lens))(params, jax.random.PRNGKey(9), mix)
     assert est.shape == (2, 2, 2048)
     assert bool(jnp.isfinite(est).all())
+
+
+def test_latent_masked_forward():
+    """LatentScoreModelNCSNpp masks its %max_latent_length pad (a larger
+    relative dilution than the waveform model's %64 pad at typical
+    lengths) and supports per-item latent-frame lengths."""
+    from ditsep_tpu.models import LatentScoreModelNCSNpp
+
+    model = LatentScoreModelNCSNpp(
+        num_sources=2, nf=8, ch_mult=(1, 1), num_res_blocks=1,
+        attn_resolutions=(), image_size=16, mask_padding=True)
+    xt = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 15))
+    mix = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 16, 15))
+    t = jnp.asarray([0.5, 0.5])
+    params = model.init(jax.random.PRNGKey(2), xt, t, mix)
+    out = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c))(
+        params, xt, t, mix)
+    assert out.shape == (2, 2, 16, 15)
+    assert bool(jnp.isfinite(out).all())
+    lens = jnp.asarray([15, 11], dtype=jnp.int32)
+    out2 = model.apply(params, xt, t, mix, lengths=lens)
+    assert bool(jnp.isfinite(out2).all())
