@@ -35,11 +35,19 @@ def main(argv=None):
     p.add_argument("--sampler", choices=("pc", "ab2"), default="pc",
                    help="'ab2' = 2nd-order multistep, one score eval "
                         "per step (see docs/nfe_study.json)")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="padding-robust scoring: mask the %%64 frame pad "
+                        "out of normalization/attention statistics — "
+                        "avoids the quality dip at unlucky file lengths "
+                        "(docs/pad_dilution_r03.md); works with "
+                        "unmasked-trained checkpoints")
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
         force_cpu()
     cfg = load_config(args.config, args.override)
+    if args.mask_padding:
+        cfg["model"]["score_model"]["mask_padding"] = True
 
     trainer = build_diffsep_trainer(cfg)
     n_src = trainer.cfg.n_speakers
