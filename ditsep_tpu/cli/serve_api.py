@@ -1,0 +1,110 @@
+"""Production separation API server: dynamic batching over the jitted
+PC sampler (``ditsep_tpu.serving``).
+
+Unlike ``cli/serve.py`` (the interactive demo UI, one sampler call per
+request — the reference's gradio-equivalent surface), this serves a
+machine-facing JSON/WAV API where CONCURRENT requests are batched into
+single TPU program invocations, so throughput approaches the offline
+eval harness's (docs/eval_harness_r03.json) instead of one-utterance-
+at-a-time latency.
+
+    python -m ditsep_tpu.cli.serve_api --config diffsep \
+        --params runs/ema.npz --port 8000 --max-batch 8 \
+        --warmup-seconds 4 8
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ditsep_tpu.cli.common import add_common_args, load_config
+from ditsep_tpu.configs import build_diffsep_trainer
+
+
+def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
+                 sampler_N=30, sampler="pc", mask_padding=False,
+                 max_seconds=60.0, mesh=None, seed=0):
+    """Wire a BatchingEngine around a jitted `trainer.separate`."""
+    from ditsep_tpu.serving import BatchingEngine
+
+    if mask_padding:
+        cfg["model"]["score_model"]["mask_padding"] = True
+    trainer = build_diffsep_trainer(cfg)
+    n_src = trainer.cfg.n_speakers
+    fs = cfg["datamodule"].get("fs", 8000)
+    sm = cfg["model"]["score_model"]
+    frame_spec = (sm.get("n_fft", 510), sm.get("hop_length", 128), 64)
+
+    key = jax.random.PRNGKey(0)
+    t = int(fs)  # params are length-agnostic; init on a 1 s template
+    template = trainer.model.init(
+        key, jnp.zeros((1, n_src, t)), jnp.full((1,), 0.5),
+        jnp.zeros((1, 1, t)))
+    if params_npz:
+        from ditsep_tpu.utils.checkpoint import load_params_npz
+        params = {"params": load_params_npz(params_npz, template["params"])}
+    else:
+        params = template
+
+    if mask_padding:
+        fn = jax.jit(lambda k, y, lens: trainer.separate(
+            params, k, y, N=sampler_N, sampler=sampler,
+            lengths=lens)[0])
+    else:
+        fn = jax.jit(lambda k, y: trainer.separate(
+            params, k, y, N=sampler_N, sampler=sampler)[0])
+    return BatchingEngine(fn, fs=fs, max_batch=max_batch,
+                          max_wait_ms=max_wait_ms, frame_spec=frame_spec,
+                          max_seconds=max_seconds,
+                          pass_lengths=mask_padding, mesh=mesh, seed=seed)
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p.add_argument("--params", default=None, help="npz score-model params")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=50.0)
+    p.add_argument("--max-seconds", type=float, default=60.0,
+                   help="reject utterances longer than this")
+    p.add_argument("--sampler-N", type=int, default=30)
+    p.add_argument("--sampler", choices=("pc", "ab2"), default="pc")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="padding-robust scoring (per-request lengths "
+                        "masked out of normalization/attention stats; "
+                        "see docs/pad_dilution_r03.md)")
+    p.add_argument("--warmup-seconds", type=float, nargs="*", default=(),
+                   help="pre-compile programs for these utterance "
+                        "lengths before accepting traffic")
+    args = p.parse_args(argv)
+    if args.cpu:
+        from ditsep_tpu.cli.common import force_cpu
+        force_cpu()
+    cfg = load_config(args.config, args.override)
+
+    mesh = None
+    if args.mesh:
+        from ditsep_tpu.parallel import make_mesh
+        mesh = make_mesh()
+
+    engine = build_engine(
+        cfg, params_npz=args.params, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, sampler_N=args.sampler_N,
+        sampler=args.sampler, mask_padding=args.mask_padding,
+        max_seconds=args.max_seconds, mesh=mesh, seed=args.seed)
+    fs = engine.fs
+    if args.warmup_seconds:
+        print(f"[serve_api] warming up {len(args.warmup_seconds)} "
+              f"shape(s)...")
+        engine.warmup([int(s * fs) for s in args.warmup_seconds])
+
+    from ditsep_tpu.serving import SeparationAPIServer
+    SeparationAPIServer(engine, host=args.host,
+                        port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

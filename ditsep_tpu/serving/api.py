@@ -1,0 +1,148 @@
+"""HTTP API server over :class:`~ditsep_tpu.serving.engine.BatchingEngine`.
+
+Dependency-free (stdlib ``http.server`` + ``wave``), threaded: each
+connection blocks on its request's Future while the engine's single
+dispatch thread batches concurrent requests onto the TPU. This is the
+deployment-facing complement of the interactive demo UI
+(``interface/web.py``; reference's only serving surface is
+src/inference/run_gradio.py — single-request, no batching).
+
+Endpoints
+---------
+- ``GET  /healthz``            -> ``{"ok": true}``
+- ``GET  /v1/stats``           -> engine counters (occupancy, latency)
+- ``POST /v1/separate``        body = WAV bytes; response JSON
+  ``{"fs", "n_src", "latency_ms", "stems": [base64 WAV, ...]}``.
+  ``?stem=i`` instead returns stem *i* as raw ``audio/wav``.
+
+Sample rates must match the engine's (resampling is a client concern —
+the reference models are rate-locked too, e.g. 8 kHz Libri2Mix).
+"""
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ditsep_tpu.interface.web import decode_wav, encode_wav
+from ditsep_tpu.serving.engine import BatchingEngine
+
+
+class SeparationAPIServer:
+    def __init__(self, engine: BatchingEngine, host: str = "127.0.0.1",
+                 port: int = 8000, request_timeout: float = 600.0,
+                 quiet: bool = True):
+        self.engine = engine
+        self.request_timeout = request_timeout
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                if not quiet:
+                    BaseHTTPRequestHandler.log_message(self, *a)
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code=200):
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
+
+            def _fail(self, msg: str, code=400):
+                self._json({"error": msg}, code)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._json({"ok": True})
+                elif path == "/v1/stats":
+                    self._json(outer.engine.stats())
+                else:
+                    self._fail("not found", 404)
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/v1/separate":
+                    self._fail("not found", 404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    payload = self.rfile.read(n)
+                    audio, fs = decode_wav(payload)
+                except Exception as e:
+                    self._fail(f"bad WAV payload: {e}")
+                    return
+                if fs != outer.engine.fs:
+                    self._fail(f"sample rate {fs} != engine rate "
+                               f"{outer.engine.fs}; resample client-side")
+                    return
+                mono = audio.mean(axis=1).astype(np.float32)  # (T, C)->(T,)
+                t0 = time.perf_counter()
+                try:
+                    est = outer.engine.separate(
+                        mono, timeout=outer.request_timeout)
+                except Exception as e:
+                    self._fail(f"separation failed: {e}", 500)
+                    return
+                latency_ms = 1e3 * (time.perf_counter() - t0)
+                qs = parse_qs(url.query)
+                if "stem" in qs:
+                    i = int(qs["stem"][0])
+                    if not 0 <= i < est.shape[0]:
+                        self._fail(f"stem {i} out of range "
+                                   f"[0, {est.shape[0]})")
+                        return
+                    self._send(200, encode_wav(est[i], outer.engine.fs),
+                               "audio/wav")
+                    return
+                self._json({
+                    "fs": outer.engine.fs,
+                    "n_src": int(est.shape[0]),
+                    "latency_ms": round(latency_ms, 3),
+                    "stems": [base64.b64encode(
+                        encode_wav(est[s], outer.engine.fs)).decode()
+                        for s in range(est.shape[0])],
+                })
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="ditsep-api")
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        print(f"[serve_api] listening on "
+              f"http://{self._httpd.server_address[0]}:{self.port}")
+        self._httpd.serve_forever()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,289 @@
+"""Dynamic-batching inference engine for jitted separation samplers.
+
+Design (TPU-first):
+
+- Static shapes only. Every dispatched batch has shape
+  ``(batch_size, 1, bucket_len)`` drawn from a bounded grid: bucket
+  lengths follow the score model's 64-STFT-frame blocks (identical
+  padding condition to native batch-1 eval — see
+  ``eval/evaluate._bucket_lengths_frames`` and docs/pad_dilution_r03.md)
+  and batch sizes are powers of two up to ``max_batch`` (rounded to the
+  mesh's device count when sharded). Compile count is therefore bounded
+  by ``n_blocks * log2(max_batch)`` programs, each cached by XLA.
+- One dispatch thread owns the device. Requests are pure host objects;
+  the TPU never sees a dynamic shape or a host round-trip mid-program.
+- Grouping policy: serve the bucket holding the OLDEST request; dispatch
+  early when ``max_batch`` requests of that bucket are waiting, else
+  after ``max_wait_ms``. Under load the engine converges to full
+  batches; at low load latency is bounded by one sampler call plus
+  ``max_wait_ms``.
+
+The reference has no equivalent subsystem (its closest machinery is the
+offline eval process pool, src/utils/processing_pool.py:90-166, which
+pins one utterance per GPU process); this is the deployment-facing
+counterpart of the sharded eval harness.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+
+def frame_block_padded_len(length: int, frame_spec: Tuple[int, int, int]
+                           ) -> int:
+    """Largest sample count whose STFT frame count stays inside the same
+    ``block``-frame block as ``length``.
+
+    The score model pads STFT frames to a multiple of ``block`` (=64;
+    reference: src/models/diffsep/score_models.py:83-91), so padding a
+    waveform up to this boundary adds ZERO extra quiet columns through
+    the U-Net — the engine's buckets are exactly the model's own frame
+    blocks. frames(L) = (L + n_fft - hop)//hop + 1 (pre-pad of
+    n_fft - hop; see eval/evaluate._stft_frames)."""
+    n_fft, hop, block = frame_spec
+    frames = (length + (n_fft - hop)) // hop + 1
+    blocks = -(-frames // block)
+    return hop * (block * blocks) - 1 - (n_fft - hop)
+
+
+@dataclass
+class _Request:
+    audio: np.ndarray          # (T,) float32
+    bucket: int                # padded length
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class BatchingEngine:
+    """Groups concurrent separation requests into static-shape batches.
+
+    Parameters
+    ----------
+    separate_fn:
+        ``separate_fn(key, mix (B,1,T)) -> est (B, n_src, T)`` — a
+        (jitted) full separation call, e.g.
+        ``lambda k, y: trainer.separate(params, k, y)[0]`` under
+        ``jax.jit``. With ``pass_lengths=True`` it is called as
+        ``separate_fn(key, mix, lengths (B,) int32)`` for mask_padding
+        score models (per-item statistics masking — padding then costs
+        nothing even across frame blocks).
+    frame_spec:
+        ``(n_fft, hop, block)`` of the score model's STFT for
+        frame-block buckets, or None to bucket by ``bucket_multiple``
+        samples (latent / generic paths).
+    mesh:
+        optional ``jax.sharding.Mesh`` with a "data" axis; batches are
+        device_put with ``P("data")`` and batch sizes are rounded up to
+        the device count.
+    """
+
+    def __init__(self, separate_fn, *, fs: int = 8000, max_batch: int = 8,
+                 max_wait_ms: float = 50.0,
+                 frame_spec: Optional[Tuple[int, int, int]] = (510, 128, 64),
+                 bucket_multiple: int = 4096,
+                 max_seconds: float = 60.0,
+                 pass_lengths: bool = False,
+                 mesh=None, seed: int = 0):
+        self._fn = separate_fn
+        self.fs = int(fs)
+        self.max_wait = max_wait_ms / 1e3
+        self.frame_spec = frame_spec
+        self.bucket_multiple = int(bucket_multiple)
+        self.max_len = int(max_seconds * fs)
+        self.pass_lengths = bool(pass_lengths)
+        self._mesh = mesh
+        self._sharding = None
+        n_dev = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._sharding = NamedSharding(mesh, P("data"))
+            n_dev = mesh.devices.size
+        self._n_dev = n_dev
+        # allowed static batch sizes: device-count multiples on a mesh,
+        # powers of two otherwise; bounded grid => bounded compiles
+        sizes, b = [], n_dev
+        while b < max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(max(max_batch, n_dev))
+        self.batch_sizes = sorted(set(sizes))
+        self.max_batch = self.batch_sizes[-1]
+
+        self._key = jax.random.PRNGKey(seed)
+        self._pending: Dict[int, List[_Request]] = {}
+        self._cv = threading.Condition()
+        self._closed = False
+        self._stats = {"requests": 0, "batches": 0, "batched_items": 0,
+                       "padded_rows": 0, "rejected": 0}
+        self._latencies: List[float] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="ditsep-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------- public
+    def bucket_of(self, length: int) -> int:
+        if self.frame_spec is not None:
+            return frame_block_padded_len(length, self.frame_spec)
+        m = self.bucket_multiple
+        return -(-length // m) * m
+
+    def submit(self, audio: np.ndarray) -> Future:
+        """Enqueue one mono utterance ((T,) or (1,T)); returns a Future
+        resolving to (n_src, T) float32 trimmed to the input length."""
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 2 and audio.shape[0] == 1:
+            audio = audio[0]
+        if audio.ndim != 1:
+            raise ValueError(f"expected mono (T,) audio, got {audio.shape}")
+        req = _Request(audio=audio, bucket=self.bucket_of(audio.shape[-1]))
+        if audio.shape[-1] == 0 or audio.shape[-1] > self.max_len:
+            with self._cv:
+                self._stats["rejected"] += 1
+            req.future.set_exception(ValueError(
+                f"utterance length {audio.shape[-1]} outside "
+                f"(0, {self.max_len}] samples"))
+            return req.future
+        with self._cv:
+            if self._closed:
+                req.future.set_exception(RuntimeError("engine closed"))
+                return req.future
+            self._stats["requests"] += 1
+            self._pending.setdefault(req.bucket, []).append(req)
+            self._cv.notify()
+        return req.future
+
+    def separate(self, audio: np.ndarray, timeout: Optional[float] = None
+                 ) -> np.ndarray:
+        """Synchronous convenience wrapper around :meth:`submit`."""
+        return self.submit(audio).result(timeout)
+
+    def warmup(self, lengths: Sequence[int],
+               batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile (bucket, batch) programs so first requests don't
+        pay XLA compilation (minutes on tunneled backends)."""
+        for L in lengths:
+            blen = self.bucket_of(int(L))
+            for bs in (batch_sizes or [self.max_batch]):
+                bs = self._round_batch(int(bs))
+                mix = np.zeros((bs, 1, blen), np.float32)
+                self._run(mix, np.full((bs,), blen, np.int32))
+
+    def stats(self) -> Dict:
+        with self._cv:
+            s = dict(self._stats)
+            lat = sorted(self._latencies)
+        s["pending"] = sum(len(v) for v in self._pending.values())
+        s["mean_batch_occupancy"] = (
+            s["batched_items"] / s["batches"] if s["batches"] else 0.0)
+        if lat:
+            s["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
+            s["latency_p95_ms"] = 1e3 * lat[min(len(lat) - 1,
+                                                int(0.95 * len(lat)))]
+        return s
+
+    def close(self, timeout: float = 10.0) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
+        with self._cv:
+            for reqs in self._pending.values():
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(RuntimeError("engine closed"))
+            self._pending.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ internal
+    def _round_batch(self, n: int) -> int:
+        for bs in self.batch_sizes:
+            if bs >= n:
+                return bs
+        return self.max_batch
+
+    def _take_batch(self) -> Optional[List[_Request]]:
+        """Block until a batch is due; None when closed and drained.
+
+        Serves the bucket holding the oldest pending request; dispatches
+        when that bucket has max_batch requests or its oldest request
+        has waited max_wait (or the engine is closing)."""
+        with self._cv:
+            while True:
+                if self._pending:
+                    bucket = min(self._pending,
+                                 key=lambda b: self._pending[b][0].t_submit)
+                    reqs = self._pending[bucket]
+                    age = time.perf_counter() - reqs[0].t_submit
+                    if (len(reqs) >= self.max_batch or age >= self.max_wait
+                            or self._closed):
+                        take = reqs[:self.max_batch]
+                        rest = reqs[self.max_batch:]
+                        if rest:
+                            self._pending[bucket] = rest
+                        else:
+                            del self._pending[bucket]
+                        return take
+                    self._cv.wait(timeout=self.max_wait - age)
+                elif self._closed:
+                    return None
+                else:
+                    self._cv.wait()
+
+    def _run(self, mix: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        mix_j = jax.numpy.asarray(mix)
+        args = ()
+        if self._sharding is not None:
+            mix_j = jax.device_put(mix_j, self._sharding)
+        if self.pass_lengths:
+            lens = jax.numpy.asarray(lengths)
+            if self._sharding is not None:
+                lens = jax.device_put(lens, self._sharding)
+            args = (lens,)
+        with self._cv:
+            self._key, sub = jax.random.split(self._key)
+        est = self._fn(sub, mix_j, *args)
+        # host read = true completion fence on tunneled backends
+        # (see eval/evaluate._host_fence)
+        return np.asarray(est)
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            try:
+                bs = self._round_batch(len(batch))
+                blen = batch[0].bucket
+                mix = np.zeros((bs, 1, blen), np.float32)
+                lens = np.full((bs,), blen, np.int32)
+                for i, r in enumerate(batch):
+                    L = r.audio.shape[-1]
+                    mix[i, 0, :L] = r.audio  # trailing-quiet padding
+                    lens[i] = L
+                est = self._run(mix, lens)
+                now = time.perf_counter()
+                with self._cv:
+                    self._stats["batches"] += 1
+                    self._stats["batched_items"] += len(batch)
+                    self._stats["padded_rows"] += bs - len(batch)
+                    self._latencies.extend(
+                        now - r.t_submit for r in batch)
+                    del self._latencies[:-1024]
+                for i, r in enumerate(batch):
+                    r.future.set_result(
+                        np.array(est[i][:, :r.audio.shape[-1]]))
+            except Exception as e:  # resolve futures, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)

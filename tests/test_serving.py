@@ -1,0 +1,374 @@
+"""Serving subsystem: dynamic-batching engine + HTTP API.
+
+The engine must (a) group concurrent requests of one frame block into a
+single sampler call, (b) return each request EXACTLY what a standalone
+call on its own padded batch would return (batching a pointwise
+separator is a no-op), (c) bound shapes to the frame-block/power-of-two
+grid, and (d) survive separator failures without wedging the queue.
+"""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ditsep_tpu.serving import (BatchingEngine, SeparationAPIServer,
+                                frame_block_padded_len)
+from ditsep_tpu.eval.evaluate import _stft_frames
+
+FRAME_SPEC = (510, 128, 64)
+
+
+def _pointwise_fn(calls=None):
+    """Deterministic, batch-pointwise 'separator': stems = (2x, -x).
+    Batching requests together must not change any row's result."""
+    def fn(key, mix):
+        if calls is not None:
+            calls.append(int(mix.shape[0]))
+        x = np.asarray(mix)[:, 0]  # (B, T)
+        return np.stack([2.0 * x, -x], axis=1)
+    return fn
+
+
+# --------------------------------------------------------------- buckets
+def test_frame_block_padded_len_properties():
+    n_fft, hop, block = FRAME_SPEC
+    for L in [1, 1000, 8000, 12345, 32000, 65536]:
+        P = frame_block_padded_len(L, FRAME_SPEC)
+        assert P >= L
+        # same %64 frame block as the native length...
+        fL, fP = _stft_frames(L, n_fft, hop), _stft_frames(P, n_fft, hop)
+        assert -(-fL // block) == -(-fP // block)
+        # ...and maximal: one more sample crosses into the next block
+        assert _stft_frames(P + 1, n_fft, hop) > -(-fL // block) * block
+
+
+def test_bucket_of_sample_domain():
+    eng = BatchingEngine(_pointwise_fn(), frame_spec=None,
+                         bucket_multiple=4096, max_wait_ms=1.0)
+    try:
+        assert eng.bucket_of(1) == 4096
+        assert eng.bucket_of(4096) == 4096
+        assert eng.bucket_of(4097) == 8192
+    finally:
+        eng.close()
+
+
+# ---------------------------------------------------------------- engine
+def test_engine_batches_concurrent_requests():
+    calls = []
+    eng = BatchingEngine(_pointwise_fn(calls), max_batch=8,
+                         max_wait_ms=60.0)
+    try:
+        rng = np.random.default_rng(0)
+        # same frame block -> one bucket; lengths differ inside it
+        base = 8000
+        lens = [base, base + 10, base + 64, base + 100]
+        audios = [rng.standard_normal(L).astype(np.float32) for L in lens]
+        futs = [eng.submit(a) for a in audios]
+        outs = [f.result(timeout=30) for f in futs]
+        for a, o in zip(audios, outs):
+            assert o.shape == (2, a.shape[-1])
+            np.testing.assert_allclose(o[0], 2.0 * a, rtol=1e-6)
+            np.testing.assert_allclose(o[1], -a, rtol=1e-6)
+        # all four rode one dispatch (batch padded to the 4-slot shape)
+        st = eng.stats()
+        assert st["requests"] == 4
+        assert st["batches"] == 1
+        assert st["mean_batch_occupancy"] == 4.0
+        assert calls == [4]
+    finally:
+        eng.close()
+
+
+def test_engine_separate_buckets_dispatch_separately():
+    calls = []
+    eng = BatchingEngine(_pointwise_fn(calls), max_batch=4,
+                         max_wait_ms=20.0)
+    try:
+        a1 = np.ones(4000, np.float32)    # small frame block
+        a2 = np.ones(40000, np.float32)   # far larger block
+        f1, f2 = eng.submit(a1), eng.submit(a2)
+        o1, o2 = f1.result(timeout=30), f2.result(timeout=30)
+        assert o1.shape == (2, 4000) and o2.shape == (2, 40000)
+        assert eng.stats()["batches"] == 2
+    finally:
+        eng.close()
+
+
+def test_engine_full_batch_dispatches_early():
+    """max_batch pending requests must not wait out max_wait_ms."""
+    eng = BatchingEngine(_pointwise_fn(), max_batch=2,
+                         max_wait_ms=10_000.0)
+    try:
+        a = np.ones(4000, np.float32)
+        t0 = time.perf_counter()
+        futs = [eng.submit(a), eng.submit(a)]
+        for f in futs:
+            f.result(timeout=30)
+        assert time.perf_counter() - t0 < 5.0
+    finally:
+        eng.close()
+
+
+def test_engine_rejects_out_of_range_and_recovers_from_errors():
+    def flaky(key, mix):
+        if mix.shape[0] >= 2:
+            raise RuntimeError("boom")
+        x = np.asarray(mix)[:, 0]
+        return np.stack([x, x], axis=1)
+
+    eng = BatchingEngine(flaky, max_batch=2, max_wait_ms=30.0,
+                         max_seconds=1.0, fs=8000)
+    try:
+        # too long -> immediate rejection, engine untouched
+        with pytest.raises(ValueError):
+            eng.submit(np.ones(9000, np.float32)).result(timeout=5)
+        # a failing batch resolves its futures with the exception...
+        f1 = eng.submit(np.ones(4000, np.float32))
+        f2 = eng.submit(np.ones(4000, np.float32))
+        with pytest.raises(RuntimeError):
+            f1.result(timeout=30)
+        with pytest.raises(RuntimeError):
+            f2.result(timeout=30)
+        # ...and the engine keeps serving afterwards
+        time.sleep(0.05)  # let the failed batch fully retire
+        out = eng.separate(np.ones(4000, np.float32), timeout=30)
+        assert out.shape == (2, 4000)
+    finally:
+        eng.close()
+
+
+def test_engine_close_rejects_new_and_pending():
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=50.0)
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(np.ones(100, np.float32)).result(timeout=5)
+
+
+def test_engine_power_of_two_padding_counted():
+    eng = BatchingEngine(_pointwise_fn(), max_batch=8, max_wait_ms=40.0)
+    try:
+        a = np.ones(4000, np.float32)
+        futs = [eng.submit(a) for _ in range(3)]  # -> padded to 4
+        for f in futs:
+            f.result(timeout=30)
+        st = eng.stats()
+        assert st["padded_rows"] == 1
+    finally:
+        eng.close()
+
+
+def test_engine_mesh_rounds_batch_to_devices():
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    seen = []
+
+    def fn(key, mix):
+        seen.append(tuple(mix.shape))
+        x = np.asarray(mix)[:, 0]
+        return np.stack([x, x], axis=1)
+
+    eng = BatchingEngine(fn, max_batch=16, max_wait_ms=20.0, mesh=mesh)
+    try:
+        out = eng.separate(np.ones(4000, np.float32), timeout=60)
+        assert out.shape == (2, 4000)
+        assert seen[0][0] % mesh.devices.size == 0
+    finally:
+        eng.close()
+
+
+def test_engine_pass_lengths_forwards_true_lengths():
+    got = {}
+
+    def fn(key, mix, lengths):
+        got["lens"] = np.asarray(lengths).tolist()
+        x = np.asarray(mix)[:, 0]
+        return np.stack([x, x], axis=1)
+
+    eng = BatchingEngine(fn, max_batch=2, max_wait_ms=40.0,
+                         pass_lengths=True)
+    try:
+        f1 = eng.submit(np.ones(4000, np.float32))
+        f2 = eng.submit(np.ones(4100, np.float32))
+        f1.result(timeout=30), f2.result(timeout=30)
+        assert sorted(got["lens"]) == [4000, 4100]
+    finally:
+        eng.close()
+
+
+# -------------------------------------------------------- real sampler
+@pytest.mark.slow
+def test_engine_with_jitted_trainer_sampler():
+    import jax
+    import jax.numpy as jnp
+    from ditsep_tpu.cli.common import load_config
+    from ditsep_tpu.configs import build_diffsep_trainer
+
+    cfg = load_config("diffsep", [
+        "model.score_model.nf=8", "model.score_model.ch_mult=[1,1]",
+        "model.score_model.attn_resolutions=[]"])
+    trainer = build_diffsep_trainer(cfg)
+    key = jax.random.PRNGKey(0)
+    t = 4000
+    params = trainer.model.init(key, jnp.zeros((1, 2, t)),
+                                jnp.full((1,), 0.5), jnp.zeros((1, 1, t)))
+    fn = jax.jit(lambda k, y: trainer.separate(params, k, y, N=2)[0])
+    eng = BatchingEngine(fn, max_batch=2, max_wait_ms=40.0)
+    try:
+        rng = np.random.default_rng(1)
+        futs = [eng.submit(rng.standard_normal(t).astype(np.float32))
+                for _ in range(2)]
+        for f in futs:
+            out = f.result(timeout=600)
+            assert out.shape == (2, t)
+            assert np.isfinite(out).all()
+        assert eng.stats()["batches"] == 1
+    finally:
+        eng.close()
+
+
+@pytest.mark.slow
+def test_build_engine_mask_padding_api_e2e():
+    """cli/serve_api.build_engine wires trainer.separate with per-request
+    lengths (mask_padding) behind the HTTP API, end to end."""
+    import base64
+    import json
+    from urllib.request import Request, urlopen
+
+    from ditsep_tpu.cli.common import load_config
+    from ditsep_tpu.cli.serve_api import build_engine
+    from ditsep_tpu.interface.web import decode_wav, encode_wav
+
+    cfg = load_config("diffsep", [
+        "model.score_model.nf=8", "model.score_model.ch_mult=(1, 1)",
+        "model.score_model.attn_resolutions=()"])
+    eng = build_engine(cfg, sampler_N=2, mask_padding=True, max_batch=2,
+                       max_wait_ms=40.0)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        rng = np.random.default_rng(3)
+        wav = encode_wav(0.2 * rng.standard_normal(4000)
+                         .astype(np.float32), 8000)
+        req = Request(f"http://127.0.0.1:{srv.port}/v1/separate", data=wav)
+        with urlopen(req, timeout=600) as r:
+            body = json.loads(r.read())
+        assert body["n_src"] == 2
+        for stem_b64 in body["stems"]:
+            stem, fs = decode_wav(base64.b64decode(stem_b64))
+            assert fs == 8000 and stem.shape[0] == 4000
+            assert np.isfinite(stem).all()
+    finally:
+        srv.close()
+        eng.close()
+
+
+# ------------------------------------------------------------------ API
+def test_api_server_roundtrip():
+    import base64
+    import json
+    from urllib.request import Request, urlopen
+
+    from ditsep_tpu.interface.web import decode_wav, encode_wav
+
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=5.0)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        with urlopen(f"{url}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        audio = (0.25 * np.sin(np.linspace(0, 100, 8000))
+                 ).astype(np.float32)
+        wav = encode_wav(audio, 8000)
+        req = Request(f"{url}/v1/separate", data=wav,
+                      headers={"Content-Type": "audio/wav"})
+        with urlopen(req, timeout=60) as r:
+            body = json.loads(r.read())
+        assert body["n_src"] == 2 and body["fs"] == 8000
+        stem0, fs0 = decode_wav(base64.b64decode(body["stems"][0]))
+        assert fs0 == 8000
+        # 16-bit PCM round-trip of 2x the input
+        np.testing.assert_allclose(stem0[:, 0], 2.0 * audio, atol=2e-4)
+
+        # raw-wav single-stem route
+        req = Request(f"{url}/v1/separate?stem=1", data=wav,
+                      headers={"Content-Type": "audio/wav"})
+        with urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            stem1, _ = decode_wav(r.read())
+        np.testing.assert_allclose(stem1[:, 0], -audio, atol=2e-4)
+
+        with urlopen(f"{url}/v1/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert st["requests"] == 2
+    finally:
+        srv.close()
+        eng.close()
+
+
+def test_api_server_rejects_bad_rate_and_payload():
+    import json
+    from urllib.request import Request, urlopen
+    from urllib.error import HTTPError
+
+    from ditsep_tpu.interface.web import encode_wav
+
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=5.0, fs=8000)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/v1/separate"
+        wav16k = encode_wav(np.ones(16000, np.float32), 16000)
+        with pytest.raises(HTTPError) as ei:
+            urlopen(Request(url, data=wav16k), timeout=30)
+        assert ei.value.code == 400
+        assert "sample rate" in json.loads(ei.value.read())["error"]
+
+        with pytest.raises(HTTPError) as ei:
+            urlopen(Request(url, data=b"not a wav"), timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.close()
+        eng.close()
+
+
+def test_api_concurrent_requests_batch():
+    import base64
+    import json
+    from urllib.request import Request, urlopen
+
+    from ditsep_tpu.interface.web import decode_wav, encode_wav
+
+    eng = BatchingEngine(_pointwise_fn(), max_batch=4, max_wait_ms=300.0)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/v1/separate"
+        rng = np.random.default_rng(2)
+        audios = [0.2 * rng.standard_normal(8000).astype(np.float32)
+                  for _ in range(4)]
+        results = [None] * 4
+
+        def post(i):
+            req = Request(url, data=encode_wav(audios[i], 8000))
+            with urlopen(req, timeout=60) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, body in enumerate(results):
+            stem, _ = decode_wav(base64.b64decode(body["stems"][0]))
+            # 16-bit encoding clips to [-1, 1]
+            np.testing.assert_allclose(stem[:, 0],
+                                       np.clip(2.0 * audios[i], -1.0, 1.0),
+                                       atol=2e-4)
+        # the four concurrent posts rode fewer than four dispatches
+        assert eng.stats()["batches"] < 4
+    finally:
+        srv.close()
+        eng.close()
