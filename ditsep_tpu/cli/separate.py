@@ -41,6 +41,15 @@ def main(argv=None):
                         "avoids the quality dip at unlucky file lengths "
                         "(docs/pad_dilution_r03.md); works with "
                         "unmasked-trained checkpoints")
+    p.add_argument("--chunk-seconds", type=float, default=None,
+                   help="long-form mode: separate in fixed windows of "
+                        "this many seconds (one static shape -> one XLA "
+                        "compile for any file length), permutation-align "
+                        "adjacent windows and crossfade-stitch "
+                        "(inference/longform.py)")
+    p.add_argument("--overlap-seconds", type=float, default=1.0,
+                   help="window overlap for --chunk-seconds "
+                        "(alignment + crossfade region)")
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
@@ -81,7 +90,15 @@ def main(argv=None):
         mix, in_fs = read_wav(os.path.join(args.input, f))
         mix = np.atleast_2d(mix).reshape(1, 1, -1).astype(np.float32)
         key, sub = jax.random.split(key)
-        est = np.asarray(sep(sub, jnp.asarray(mix)))[0]
+        if args.chunk_seconds:
+            from ditsep_tpu.inference import separate_longform
+            est = separate_longform(
+                sep, mix.reshape(-1),
+                chunk_samples=int(args.chunk_seconds * fs),
+                overlap_samples=int(args.overlap_seconds * fs),
+                n_src=n_src, key=sub)
+        else:
+            est = np.asarray(sep(sub, jnp.asarray(mix)))[0]
         est = scale_output(mix[0], est)
         for i in range(n_src):
             write_wav(str(Path(args.output, f"s{i}", f)), est[i], fs)

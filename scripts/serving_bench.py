@@ -1,0 +1,127 @@
+"""Serving-engine load benchmark on the attached TPU.
+
+Quantifies what dynamic batching buys a live separation service: offered
+concurrency is swept while the engine groups requests into single jitted
+30-step PC-sampler calls (flagship nf=128 config, bf16 — identical
+compute to bench.py). At concurrency 1 the engine degenerates to the
+single-request demo server; at high concurrency its throughput should
+approach the offline batched bench (1.97 utt/s on a v5e).
+
+Writes docs/serving_bench.json and prints one JSON line per level.
+
+    python scripts/serving_bench.py            # full sweep on TPU
+    SERVE_BENCH_LEVELS="1,8" python scripts/serving_bench.py
+"""
+import json
+import os
+import sys
+import time
+from concurrent.futures import wait
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", os.path.join(
+                      os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+FS = 8000
+BASELINE_UTT_PER_S = 1.0 / 3.659  # reference (BASELINE.md)
+
+
+def main():
+    from ditsep_tpu.models import ScoreModelNCSNpp
+    from ditsep_tpu.sdes import MixSDE, pc_sample
+    from ditsep_tpu.serving import BatchingEngine
+
+    model = ScoreModelNCSNpp(num_sources=2, nf=128,
+                             ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                             attn_resolutions=(16,), image_size=256,
+                             dtype=jnp.bfloat16)
+    sde = MixSDE(N=30)
+    key = jax.random.PRNGKey(0)
+
+    # lengths spanning one 64-frame STFT block (~7.6-8.1 s) so mixed
+    # requests still share a bucket; block-8 padded length 65153 keeps
+    # batch 32 inside v5e HBM (bench.py runs 32 x 67320)
+    lo, hi = 61000, 65153
+    params = jax.jit(model.init)(key, jnp.zeros((1, 2, hi)),
+                                 jnp.full((1,), 0.5),
+                                 jnp.zeros((1, 1, hi)))
+
+    @jax.jit
+    def sample(params, k, y):
+        score_fn = lambda x, t, c: model.apply(params, x, t, c)
+        est, _ = pc_sample(sde, score_fn, k, y,
+                           predictor="reverse_diffusion", corrector="ald2",
+                           N=30, snr=0.5, corrector_steps=1, denoise=True,
+                           eps=0.03, n_spkrs=2)
+        return est
+
+    levels = [int(x) for x in os.environ.get(
+        "SERVE_BENCH_LEVELS", "1,8,32").split(",")]
+    waves = int(os.environ.get("SERVE_BENCH_WAVES", "3"))
+    rng = np.random.default_rng(0)
+    rows = []
+    for conc in levels:
+        eng = BatchingEngine(lambda k, y: sample(params, k, y),
+                             fs=FS, max_batch=max(conc, 1),
+                             max_wait_ms=300.0, max_seconds=10.0)
+        try:
+            audios = [rng.standard_normal(
+                int(rng.integers(lo, hi + 1))).astype(np.float32) * 0.2
+                for _ in range(conc)]
+            # untimed wave absorbs XLA compilation for this batch shape
+            wait([eng.submit(a) for a in audios], timeout=3600)
+            t0 = time.perf_counter()
+            lat = []
+            for _ in range(waves):
+                futs = [eng.submit(a) for a in audios]
+                t_sub = time.perf_counter()
+                wait(futs, timeout=3600)
+                lat.append(time.perf_counter() - t_sub)
+                for f in futs:
+                    f.result()  # surface any errors
+            dt = time.perf_counter() - t0
+            st = eng.stats()
+            row = {
+                "concurrency": conc,
+                "throughput_utt_per_s": round(conc * waves / dt, 4),
+                "vs_reference_gpu": round(
+                    (conc * waves / dt) / BASELINE_UTT_PER_S, 3),
+                "wave_latency_s_mean": round(float(np.mean(lat)), 3),
+                "mean_batch_occupancy": round(
+                    st["mean_batch_occupancy"], 2),
+                "batches": st["batches"],
+            }
+            rows.append(row)
+            print(json.dumps(row))
+        finally:
+            eng.close()
+
+    out = {
+        "config": {"nf": 128, "N": 30, "dtype": "bf16",
+                   "utt_len_samples": [lo, hi], "fs": FS,
+                   "waves_per_level": waves,
+                   "backend": jax.devices()[0].device_kind},
+        "note": ("Throughput at each offered concurrency through the "
+                 "serving engine (dynamic batching); concurrency 1 = "
+                 "the single-request demo-server regime. Reference GPU "
+                 "baseline 0.273 utt/s (BASELINE.md)."),
+        "levels": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "serving_bench.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,25 @@ def test_separate_cli(tmp_path):
     assert sorted(os.listdir(f"{out_dir}/s1")) == ["u0.wav", "u1.wav"]
 
 
+def test_separate_cli_chunked(tmp_path):
+    """Long-form mode: files longer than the window are separated in
+    fixed chunks with alignment + crossfade (inference/longform.py)."""
+    from ditsep_tpu.cli.separate import main
+    from ditsep_tpu.data import read_wav, write_wav
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(1)
+    write_wav(str(in_dir / "long.wav"),
+              rng.standard_normal(12000).astype(np.float32) * 0.3, 8000)
+    out_dir = str(tmp_path / "out")
+    main(["--config", "diffsep", "--input", str(in_dir), "--output",
+          out_dir, "--sampler-N", "2", "--chunk-seconds", "0.5",
+          "--overlap-seconds", "0.1", "--override", *TINY_WAVEFORM])
+    est, fs = read_wav(f"{out_dir}/s0/long.wav")
+    assert fs == 8000 and est.shape[-1] == 12000
+    assert np.isfinite(est).all()
+
+
 def test_model_info_cli(capsys):
     """Parameter-inventory probe (reference: scripts/vae_print.py,
     facodec_print.py, debug.py) -- eval_shape only, so even the flagship
