@@ -80,3 +80,26 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--override", nargs="*", default=[],
                    help="config overrides a.b.c=value")
     return p
+
+
+def init_or_load_score_params(trainer, n_src: int, t_len: int,
+                              params_npz: Optional[str] = None,
+                              seed: int = 0):
+    """Init score-model params on a template shape; load an npz
+    checkpoint over the template when given.
+
+    The score models are length-agnostic, so any ``t_len`` yields the
+    same parameter tree — CLIs init on a cheap template and (optionally)
+    overwrite with trained weights. Shared by serve/serve_api/separate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    template = trainer.model.init(
+        key, jnp.zeros((1, n_src, t_len)), jnp.full((1,), 0.5),
+        jnp.zeros((1, 1, t_len)))
+    if params_npz:
+        from ditsep_tpu.utils.checkpoint import load_params_npz
+        return {"params": load_params_npz(params_npz, template["params"])}
+    return template

@@ -67,18 +67,12 @@ def main(argv=None):
         raise SystemExit(f"no wav files in {args.input}")
     key = jax.random.PRNGKey(args.seed)
 
-    # init / load params on the first file's shape class
+    # params are length-agnostic; init on the first file's shape class
     mix0, _ = read_wav(os.path.join(args.input, files[0]))
-    mix0 = np.atleast_2d(mix0).reshape(1, 1, -1)
-    template = trainer.model.init(
-        key, jnp.zeros((1, n_src, mix0.shape[-1])), jnp.full((1,), 0.5),
-        jnp.asarray(mix0))
-    if args.params:
-        from ditsep_tpu.utils.checkpoint import load_params_npz
-        params = {"params": load_params_npz(args.params,
-                                            template["params"])}
-    else:
-        params = template
+    from ditsep_tpu.cli.common import init_or_load_score_params
+    params = init_or_load_score_params(trainer, n_src,
+                                       int(np.asarray(mix0).shape[-1]),
+                                       args.params, seed=args.seed)
 
     for i in range(n_src):
         Path(args.output, f"s{i}").mkdir(parents=True, exist_ok=True)
@@ -86,6 +80,16 @@ def main(argv=None):
     sep_p = jax.jit(lambda p, k, mix: trainer.separate(
         p, k, mix, N=args.sampler_N, sampler=args.sampler)[0])
     sep = lambda k, mix: sep_p(params, k, mix)
+    if args.mask_padding:
+        # lengths-aware variant for chunked mode: a file shorter than the
+        # window is host-zero-padded, and those samples must be masked
+        # out of the score statistics like any other padding
+        sep_len_p = jax.jit(lambda p, k, mix, lens: trainer.separate(
+            p, k, mix, N=args.sampler_N, sampler=args.sampler,
+            lengths=lens)[0])
+        sep_chunk = lambda k, mix, lens: sep_len_p(params, k, mix, lens)
+    else:
+        sep_chunk = sep
     for f in files:
         mix, in_fs = read_wav(os.path.join(args.input, f))
         mix = np.atleast_2d(mix).reshape(1, 1, -1).astype(np.float32)
@@ -93,10 +97,11 @@ def main(argv=None):
         if args.chunk_seconds:
             from ditsep_tpu.inference import separate_longform
             est = separate_longform(
-                sep, mix.reshape(-1),
+                sep_chunk, mix.reshape(-1),
                 chunk_samples=int(args.chunk_seconds * fs),
                 overlap_samples=int(args.overlap_seconds * fs),
-                n_src=n_src, key=sub)
+                n_src=n_src, key=sub,
+                pass_lengths=args.mask_padding)
         else:
             est = np.asarray(sep(sub, jnp.asarray(mix)))[0]
         est = scale_output(mix[0], est)

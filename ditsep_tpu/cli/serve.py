@@ -26,17 +26,8 @@ def build_separation_app(cfg, params_npz=None):
     trainer = build_diffsep_trainer(cfg)
     n_src = trainer.cfg.n_speakers
     fs = cfg["datamodule"].get("fs", 8000)
-    key = jax.random.PRNGKey(0)
-    t = int(fs)  # params are length-agnostic; init on a 1 s template
-    template = trainer.model.init(
-        key, jnp.zeros((1, n_src, t)), jnp.full((1,), 0.5),
-        jnp.zeros((1, 1, t)))
-    if params_npz:
-        from ditsep_tpu.utils.checkpoint import load_params_npz
-        params = {"params": load_params_npz(params_npz,
-                                            template["params"])}
-    else:
-        params = template
+    from ditsep_tpu.cli.common import init_or_load_score_params
+    params = init_or_load_score_params(trainer, n_src, int(fs), params_npz)
     return SeparationApp(trainer=trainer, params=params, fs=fs)
 
 

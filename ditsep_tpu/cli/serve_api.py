@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 
 from ditsep_tpu.cli.common import add_common_args, load_config
 from ditsep_tpu.configs import build_diffsep_trainer
@@ -37,16 +36,8 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
     sm = cfg["model"]["score_model"]
     frame_spec = (sm.get("n_fft", 510), sm.get("hop_length", 128), 64)
 
-    key = jax.random.PRNGKey(0)
-    t = int(fs)  # params are length-agnostic; init on a 1 s template
-    template = trainer.model.init(
-        key, jnp.zeros((1, n_src, t)), jnp.full((1,), 0.5),
-        jnp.zeros((1, 1, t)))
-    if params_npz:
-        from ditsep_tpu.utils.checkpoint import load_params_npz
-        params = {"params": load_params_npz(params_npz, template["params"])}
-    else:
-        params = template
+    from ditsep_tpu.cli.common import init_or_load_score_params
+    params = init_or_load_score_params(trainer, n_src, int(fs), params_npz)
 
     if mask_padding:
         fn = jax.jit(lambda k, y, lens: trainer.separate(

@@ -53,6 +53,7 @@ def separate_longform(
     n_src: int = 2,
     key=None,
     seed: int = 0,
+    pass_lengths: bool = False,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> np.ndarray:
     """Separate an arbitrarily long mono mixture with a fixed-window
@@ -75,6 +76,13 @@ def separate_longform(
     key:
         optional jax PRNGKey (split per chunk); default derives from
         ``seed``.
+    pass_lengths:
+        call ``separate_fn(key, chunk, lengths (1,) int32)`` with the
+        chunk's VALID sample count — required for mask_padding score
+        models when the input is shorter than one window, so the host
+        zero-pad is masked out of normalization/attention statistics
+        (docs/pad_dilution_r03.md) instead of silently counting as
+        signal.
 
     Returns (n_src, T) with adjacent chunks permutation-aligned and
     linearly crossfaded.
@@ -88,14 +96,15 @@ def separate_longform(
     if key is None:
         key = jax.random.PRNGKey(seed)
 
-    def run(chunk: np.ndarray, k) -> np.ndarray:
-        est = separate_fn(k, chunk[None, None, :])
+    def run(chunk: np.ndarray, k, valid: int) -> np.ndarray:
+        args = ((np.asarray([valid], np.int32),) if pass_lengths else ())
+        est = separate_fn(k, chunk[None, None, :], *args)
         return np.asarray(est)[0]  # (n_src, chunk)
 
     if T <= chunk_samples:  # single window: pad, sample, trim
         pad = chunk_samples - T
         key, sub = jax.random.split(key)
-        est = run(np.pad(mix, (0, pad)), sub)
+        est = run(np.pad(mix, (0, pad)), sub, T)
         return est[:, :T]
 
     hop = chunk_samples - overlap_samples
@@ -107,7 +116,7 @@ def separate_longform(
     prev_end = 0
     for ci, s in enumerate(starts):
         key, sub = jax.random.split(key)
-        est = run(mix[s:s + chunk_samples], sub)
+        est = run(mix[s:s + chunk_samples], sub, chunk_samples)
         if ci == 0:
             out[:, :chunk_samples] = est
         else:

@@ -73,12 +73,24 @@ class SeparationAPIServer:
 
             def do_POST(self):
                 url = urlparse(self.path)
+                # ALWAYS drain the body first: on a keep-alive HTTP/1.1
+                # connection an unread body would be parsed as the next
+                # request line, desynchronizing the connection
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = self.rfile.read(n)
                 if url.path != "/v1/separate":
                     self._fail("not found", 404)
                     return
+                # validate the cheap parts BEFORE spending TPU time
+                qs = parse_qs(url.query)
+                stem = None
+                if "stem" in qs:
+                    try:
+                        stem = int(qs["stem"][0])
+                    except ValueError:
+                        self._fail(f"non-integer stem {qs['stem'][0]!r}")
+                        return
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    payload = self.rfile.read(n)
                     audio, fs = decode_wav(payload)
                 except Exception as e:
                     self._fail(f"bad WAV payload: {e}")
@@ -96,9 +108,8 @@ class SeparationAPIServer:
                     self._fail(f"separation failed: {e}", 500)
                     return
                 latency_ms = 1e3 * (time.perf_counter() - t0)
-                qs = parse_qs(url.query)
-                if "stem" in qs:
-                    i = int(qs["stem"][0])
+                if stem is not None:
+                    i = stem
                     if not 0 <= i < est.shape[0]:
                         self._fail(f"stem {i} out of range "
                                    f"[0, {est.shape[0]})")

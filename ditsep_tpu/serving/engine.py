@@ -111,7 +111,9 @@ class BatchingEngine:
         while b < max_batch:
             sizes.append(b)
             b *= 2
-        sizes.append(max(max_batch, n_dev))
+        # every allowed size must shard over the data axis: round the cap
+        # itself up to a device-count multiple
+        sizes.append(-(-max(max_batch, n_dev) // n_dev) * n_dev)
         self.batch_sizes = sorted(set(sizes))
         self.max_batch = self.batch_sizes[-1]
 
@@ -166,10 +168,12 @@ class BatchingEngine:
     def warmup(self, lengths: Sequence[int],
                batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Pre-compile (bucket, batch) programs so first requests don't
-        pay XLA compilation (minutes on tunneled backends)."""
+        pay XLA compilation (minutes on tunneled backends). Default:
+        EVERY allowed batch size per length — a low-concurrency first
+        request dispatches a small batch, which must be warm too."""
         for L in lengths:
             blen = self.bucket_of(int(L))
-            for bs in (batch_sizes or [self.max_batch]):
+            for bs in (batch_sizes or self.batch_sizes):
                 bs = self._round_batch(int(bs))
                 mix = np.zeros((bs, 1, blen), np.float32)
                 self._run(mix, np.full((bs,), blen, np.int32))
@@ -178,7 +182,7 @@ class BatchingEngine:
         with self._cv:
             s = dict(self._stats)
             lat = sorted(self._latencies)
-        s["pending"] = sum(len(v) for v in self._pending.values())
+            s["pending"] = sum(len(v) for v in self._pending.values())
         s["mean_batch_occupancy"] = (
             s["batched_items"] / s["batches"] if s["batches"] else 0.0)
         if lat:
@@ -221,8 +225,15 @@ class BatchingEngine:
         with self._cv:
             while True:
                 if self._pending:
-                    bucket = min(self._pending,
-                                 key=lambda b: self._pending[b][0].t_submit)
+                    # a FULL bucket anywhere dispatches first (oldest-full
+                    # wins) so one early straggler in another bucket can't
+                    # head-of-line-block a ready batch; otherwise serve
+                    # the bucket holding the oldest request
+                    oldest = lambda b: self._pending[b][0].t_submit
+                    full = [b for b, r in self._pending.items()
+                            if len(r) >= self.max_batch]
+                    bucket = (min(full, key=oldest) if full
+                              else min(self._pending, key=oldest))
                     reqs = self._pending[bucket]
                     age = time.perf_counter() - reqs[0].t_submit
                     if (len(reqs) >= self.max_batch or age >= self.max_wait

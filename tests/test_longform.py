@@ -91,6 +91,30 @@ def test_longform_zero_overlap_concatenates():
     assert err.max() < 1e-6
 
 
+def test_longform_pass_lengths_masks_host_pad():
+    """Single-window mode zero-pads on the host; with pass_lengths the
+    separator receives the TRUE sample count so mask_padding models can
+    exclude the pad from their statistics."""
+    got = {}
+
+    def fn(key, chunk, lengths):
+        got["lens"] = np.asarray(lengths).tolist()
+        c = np.asarray(chunk)[:, 0]
+        return np.stack([c, c], axis=1)
+
+    short = MIX[:3000]
+    est = separate_longform(fn, short, chunk_samples=6000,
+                            overlap_samples=1000, n_src=2, seed=7,
+                            pass_lengths=True)
+    assert est.shape == (2, 3000)
+    assert got["lens"] == [3000]
+
+    # full chunks report the window length
+    separate_longform(fn, MIX, chunk_samples=6000, overlap_samples=1000,
+                      n_src=2, seed=8, pass_lengths=True)
+    assert got["lens"] == [6000]
+
+
 def test_longform_validates_overlap():
     with pytest.raises(ValueError):
         separate_longform(_oracle, MIX, chunk_samples=1000,

@@ -180,6 +180,56 @@ def test_engine_mesh_rounds_batch_to_devices():
         eng.close()
 
 
+def test_engine_mesh_caps_are_device_multiples():
+    """A max_batch that is not a device multiple must round UP so every
+    allowed batch shape shards over the data axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n = mesh.devices.size
+    eng = BatchingEngine(_pointwise_fn(), max_batch=n + n // 2,
+                         max_wait_ms=1.0, mesh=mesh)
+    try:
+        assert all(bs % n == 0 for bs in eng.batch_sizes)
+    finally:
+        eng.close()
+
+
+def test_engine_full_bucket_not_blocked_by_straggler():
+    """A full bucket dispatches immediately even while an older lone
+    request in another bucket is still waiting out max_wait."""
+    eng = BatchingEngine(_pointwise_fn(), max_batch=2,
+                         max_wait_ms=10_000.0)
+    try:
+        lone = eng.submit(np.ones(40000, np.float32))  # bucket A, alone
+        t0 = time.perf_counter()
+        futs = [eng.submit(np.ones(4000, np.float32))
+                for _ in range(2)]  # bucket B, full
+        for f in futs:
+            f.result(timeout=30)
+        assert time.perf_counter() - t0 < 5.0  # did not wait out A's age
+        assert not lone.done()
+    finally:
+        eng.close()
+        # close() drains: the straggler resolves (result or closed-error)
+        try:
+            lone.result(timeout=10)
+        except RuntimeError:
+            pass
+
+
+def test_engine_warmup_covers_all_batch_sizes():
+    calls = []
+    eng = BatchingEngine(_pointwise_fn(calls), max_batch=4,
+                         max_wait_ms=1.0)
+    try:
+        eng.warmup([4000])
+        assert sorted(calls) == [1, 2, 4]  # every allowed batch shape
+    finally:
+        eng.close()
+
+
 def test_engine_pass_lengths_forwards_true_lengths():
     got = {}
 
@@ -329,6 +379,42 @@ def test_api_server_rejects_bad_rate_and_payload():
         with pytest.raises(HTTPError) as ei:
             urlopen(Request(url, data=b"not a wav"), timeout=30)
         assert ei.value.code == 400
+
+        # non-integer stem -> 400 BEFORE any separation happens
+        wav8k = encode_wav(np.ones(4000, np.float32), 8000)
+        with pytest.raises(HTTPError) as ei:
+            urlopen(Request(url + "?stem=abc", data=wav8k), timeout=30)
+        assert ei.value.code == 400
+        assert eng.stats()["requests"] == 0
+    finally:
+        srv.close()
+        eng.close()
+
+
+def test_api_keepalive_connection_survives_404_with_body():
+    """A POST body to an unknown path must be drained, or the next
+    request on the same keep-alive connection reads garbage."""
+    import http.client
+    import json
+
+    from ditsep_tpu.interface.web import encode_wav
+
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=5.0)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=60)
+        wav = encode_wav(np.ones(4000, np.float32), 8000)
+        conn.request("POST", "/wrong/path", body=wav)
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same connection: must still parse cleanly
+        conn.request("POST", "/v1/separate", body=wav)
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["n_src"] == 2
+        conn.close()
     finally:
         srv.close()
         eng.close()
