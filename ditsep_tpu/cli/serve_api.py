@@ -24,15 +24,53 @@ from ditsep_tpu.configs import build_diffsep_trainer
 
 def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
                  sampler_N=30, sampler="pc", mask_padding=False,
-                 max_seconds=60.0, mesh=None, seed=0):
-    """Wire a BatchingEngine around a jitted `trainer.separate`."""
+                 max_seconds=60.0, latent=False, vae_params_npz=None,
+                 mesh=None, seed=0):
+    """Wire a BatchingEngine around a jitted separation call.
+
+    ``latent=True`` serves the latent pipeline (VAE encode -> latent PC
+    sampling -> VAE decode; reference: src/diffsep_latent.py:471-487)
+    with sample-domain buckets at the VAE hop; the default serves the
+    waveform pipeline with frame-block buckets."""
     from ditsep_tpu.serving import BatchingEngine
 
     if mask_padding:
         cfg["model"]["score_model"]["mask_padding"] = True
+    fs = cfg["datamodule"].get("fs", 8000)
+
+    if latent:
+        import jax.numpy as jnp
+
+        from ditsep_tpu.cli.train_diffsep_latent import init_vae_params
+        from ditsep_tpu.configs import build_latent_trainer
+
+        trainer = build_latent_trainer(cfg)
+        n_src = trainer.cfg.n_speakers
+        key = jax.random.PRNGKey(seed)
+        vae_params = init_vae_params(trainer, vae_params_npz, key)
+        mix_lat, tgt_lat = trainer.encode(
+            vae_params, None, jnp.zeros((1, 1, int(fs))),
+            jnp.zeros((1, n_src, int(fs))))
+        template = trainer.model.init(key, tgt_lat, jnp.full((1,), 0.5),
+                                      mix_lat)
+        if params_npz:
+            from ditsep_tpu.utils.checkpoint import load_params_npz
+            params = {"params": load_params_npz(params_npz,
+                                                template["params"])}
+        else:
+            params = template
+        sep_p = jax.jit(lambda p, vp, k, y: trainer.separate_latent(
+            p, vp, k, y, target_dim=y.shape[-1], N=sampler_N)[0])
+        fn = lambda k, y: sep_p(params, vae_params, k, y)
+        # latent path buckets by the VAE hop, not STFT frame blocks
+        return BatchingEngine(
+            fn, fs=fs, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            frame_spec=None,
+            bucket_multiple=trainer.vae.downsampling_ratio * 16,
+            max_seconds=max_seconds, mesh=mesh, seed=seed)
+
     trainer = build_diffsep_trainer(cfg)
     n_src = trainer.cfg.n_speakers
-    fs = cfg["datamodule"].get("fs", 8000)
     sm = cfg["model"]["score_model"]
     frame_spec = (sm.get("n_fft", 510), sm.get("hop_length", 128), 64)
 
@@ -67,6 +105,12 @@ def main(argv=None):
                    help="padding-robust scoring (per-request lengths "
                         "masked out of normalization/attention stats; "
                         "see docs/pad_dilution_r03.md)")
+    p.add_argument("--latent", action="store_true",
+                   help="serve the latent pipeline (VAE encode -> latent "
+                        "PC sampling -> decode); use with --config "
+                        "latent_diffsep_ouve and --vae-params")
+    p.add_argument("--vae-params", default=None,
+                   help="npz with OobleckVAE params (latent mode)")
     p.add_argument("--warmup-seconds", type=float, nargs="*", default=(),
                    help="pre-compile programs for these utterance "
                         "lengths before accepting traffic")
@@ -85,7 +129,8 @@ def main(argv=None):
         cfg, params_npz=args.params, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, sampler_N=args.sampler_N,
         sampler=args.sampler, mask_padding=args.mask_padding,
-        max_seconds=args.max_seconds, mesh=mesh, seed=args.seed)
+        max_seconds=args.max_seconds, latent=args.latent,
+        vae_params_npz=args.vae_params, mesh=mesh, seed=args.seed)
     fs = engine.fs
     if args.warmup_seconds:
         print(f"[serve_api] warming up {len(args.warmup_seconds)} "

@@ -68,6 +68,9 @@ class SeparationAPIServer:
                     self._json({"ok": True})
                 elif path == "/v1/stats":
                     self._json(outer.engine.stats())
+                elif path == "/metrics":  # Prometheus exposition format
+                    self._send(200, outer._prometheus().encode(),
+                               "text/plain; version=0.0.4")
                 else:
                     self._fail("not found", 404)
 
@@ -129,6 +132,31 @@ class SeparationAPIServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self._thread = None
+
+    def _prometheus(self) -> str:
+        """Engine counters in Prometheus text exposition format, so a
+        standard scraper can watch batch occupancy / queue depth / tail
+        latency without a client library."""
+        st = self.engine.stats()
+        counters = ["requests", "batches", "batched_items", "padded_rows",
+                    "rejected"]
+        lines = []
+        for c in counters:
+            lines.append(f"# TYPE ditsep_{c}_total counter")
+            lines.append(f"ditsep_{c}_total {st[c]}")
+        lines.append("# TYPE ditsep_pending_requests gauge")
+        lines.append(f"ditsep_pending_requests {st['pending']}")
+        lines.append("# TYPE ditsep_mean_batch_occupancy gauge")
+        lines.append(
+            f"ditsep_mean_batch_occupancy {st['mean_batch_occupancy']}")
+        if "latency_p50_ms" in st:
+            lines.append("# TYPE ditsep_request_latency_seconds summary")
+            for q, k in (("0.5", "latency_p50_ms"),
+                         ("0.95", "latency_p95_ms")):
+                lines.append(
+                    "ditsep_request_latency_seconds"
+                    f'{{quantile="{q}"}} {st[k] / 1e3}')
+        return "\n".join(lines) + "\n"
 
     @property
     def port(self) -> int:

@@ -420,6 +420,60 @@ def test_api_keepalive_connection_survives_404_with_body():
         eng.close()
 
 
+def test_api_prometheus_metrics():
+    import json
+    from urllib.request import Request, urlopen
+
+    from ditsep_tpu.interface.web import encode_wav
+
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=5.0)
+    srv = SeparationAPIServer(eng, port=0).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        wav = encode_wav(np.ones(4000, np.float32), 8000)
+        with urlopen(Request(f"{url}/v1/separate", data=wav),
+                     timeout=60) as r:
+            json.loads(r.read())
+        with urlopen(f"{url}/metrics", timeout=10) as r:
+            assert "text/plain" in r.headers["Content-Type"]
+            body = r.read().decode()
+        assert "ditsep_requests_total 1" in body
+        assert "ditsep_batches_total 1" in body
+        assert "# TYPE ditsep_pending_requests gauge" in body
+        assert 'ditsep_request_latency_seconds{quantile="0.5"}' in body
+    finally:
+        srv.close()
+        eng.close()
+
+
+@pytest.mark.slow
+def test_build_engine_latent_e2e():
+    """serve_api --latent: VAE encode -> latent PC sampling -> decode
+    behind the batching engine."""
+    from ditsep_tpu.cli.common import load_config
+    from ditsep_tpu.cli.serve_api import build_engine
+
+    cfg = load_config("latent_diffsep_ouve", [
+        "model.score_model.nf=16", "model.score_model.ch_mult=(1, 2)",
+        "model.score_model.attn_resolutions=()",
+        "model.score_model.image_size=4", "model.vae.channels=8",
+        "model.vae.c_mults=(1, 2)", "model.vae.strides=(2, 4)",
+        "model.vae.latent_dim=4"])
+    eng = build_engine(cfg, sampler_N=2, latent=True, max_batch=2,
+                       max_wait_ms=40.0)
+    try:
+        rng = np.random.default_rng(4)
+        futs = [eng.submit(0.2 * rng.standard_normal(4000)
+                           .astype(np.float32)) for _ in range(2)]
+        for f in futs:
+            out = f.result(timeout=600)
+            assert out.shape == (2, 4000)
+            assert np.isfinite(out).all()
+        assert eng.stats()["batches"] == 1
+    finally:
+        eng.close()
+
+
 def test_api_concurrent_requests_batch():
     import base64
     import json
