@@ -34,9 +34,11 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--eval-batch-size", type=int, default=4)
     p.add_argument("--bucket-multiple", type=int, default=4096,
-                   help="pad utterances up to multiples of this many "
-                        "samples (fewer distinct bucket shapes = fewer "
-                        "XLA compiles)")
+                   help="sample-domain bucket granularity — used only by "
+                        "the --latent and --no-proc paths; the waveform "
+                        "path buckets by the model's 64-frame STFT "
+                        "blocks instead (quality-critical, see "
+                        "docs/pad_dilution_r03.md) and ignores this")
     p.add_argument("--max-buckets", type=int, default=24,
                    help="cap on distinct padded length shapes (each costs "
                         "one XLA compile); sparse buckets consolidate. "

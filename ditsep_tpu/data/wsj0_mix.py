@@ -219,21 +219,45 @@ class BucketedLoader:
     # across its own frame block (the quality-dilution cliff measured in
     # docs/pad_dilution_r03.md — matters for val/si_sdr monitoring,
     # which drives checkpoint selection). None keeps sample-domain
-    # buckets (latent/VAE paths).
+    # buckets (latent/VAE paths). Distinct blocks are still capped at
+    # n_buckets (each bucket is one XLA compile of the jitted val loss
+    # AND sampler — a 1-60 s length spread would otherwise compile ~60
+    # programs): the least-populated blocks merge upward, trading a
+    # little extra padding on few items for bounded compiles.
     frame_spec: Optional[Tuple[int, int, int]] = None
+    # batch padding layout (max_collator align): "center" matches the
+    # reference's training collator (src/datasets/wsj0_mix.py:104-120);
+    # validation/eval should use "left" so padding is trailing quiet,
+    # the layout the model sees at native lengths and in the test-eval
+    # harness (eval/evaluate.py).
+    align: str = "center"
 
     def __post_init__(self):
         self._lengths = [self.dataset[i][0].shape[-1]
                          for i in range(len(self.dataset))]
         if self.frame_spec is not None:
+            from ditsep_tpu.ops.stft import n_frames_prepadded
             n_fft, hop, block = self.frame_spec
-            pre = n_fft - hop
-            # largest sample count whose STFT stays within each k-block:
-            # frames(L) = (L+pre)//hop + 1 <= k*block
-            blocks = sorted({-(-((L + pre) // hop + 1) // block)
-                             for L in self._lengths})
-            self._bounds = [(k * block - 1) * hop - pre + (hop - 1)
-                            for k in blocks]
+            hist: dict = {}
+            for L in self._lengths:
+                k = -(-n_frames_prepadded(L, n_fft, hop) // block)
+                hist[k] = hist.get(k, 0) + 1
+            if len(hist) > self.n_buckets:
+                moved = 0
+                while len(hist) > self.n_buckets:
+                    order = sorted(hist)
+                    cand = min(order[:-1], key=lambda k: hist[k])
+                    nxt = order[order.index(cand) + 1]
+                    cnt = hist.pop(cand)
+                    moved += cnt
+                    hist[nxt] = hist.get(nxt, 0) + cnt
+                print(f"[BucketedLoader] merged {moved} items into higher "
+                      f"frame blocks (n_buckets={self.n_buckets}); their "
+                      f"padded quiet fraction exceeds native")
+            # max sample count whose frames fit block k (same closed form
+            # as ops/stft.frame_block_padded_len)
+            self._bounds = [hop * block * k - 1 - (n_fft - hop)
+                            for k in sorted(hist)]
         else:
             self._bounds = length_buckets(self._lengths, self.n_buckets,
                                           self.multiple)
@@ -255,7 +279,7 @@ class BucketedLoader:
             pools.setdefault(b, []).append(idx)
             if len(pools[b]) == self.batch_size:
                 items = [self.dataset[i] for i in pools.pop(b)]
-                yield max_collator(items, pad_to=b)
+                yield max_collator(items, pad_to=b, align=self.align)
         if not self.drop_remainder:
             for b, idxs in pools.items():
                 if not idxs:
@@ -265,4 +289,4 @@ class BucketedLoader:
                 items = [self.dataset[i] for i in idxs]
                 while len(items) < self.batch_size:
                     items.append(items[-1])
-                yield max_collator(items, pad_to=b)
+                yield max_collator(items, pad_to=b, align=self.align)

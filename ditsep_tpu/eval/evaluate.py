@@ -29,10 +29,11 @@ Array = jax.Array
 
 
 def _stft_frames(L: int, n_fft: int, hop: int) -> int:
-    """Frame count the score model's STFT produces for an L-sample
-    waveform (pre-padded by n_fft-hop; see models/score_models.py
-    pre_process, reference: src/models/diffsep/score_models.py:107-116)."""
-    return (L + (n_fft - hop)) // hop + 1
+    """Frame count of the score model's STFT (canonical formula lives in
+    ops/stft.py so bucketing can never drift from the model's grid)."""
+    from ditsep_tpu.ops.stft import n_frames_prepadded
+
+    return n_frames_prepadded(L, n_fft, hop)
 
 
 def _bucket_lengths_frames(lengths, frame_spec, max_buckets: int):
@@ -129,7 +130,7 @@ def evaluate_dataset(
     fs: int = 8000,
     batch_size: int = 4,
     bucket_multiple: int = 4096,
-    frame_spec: Optional[tuple] = (510, 128, 64),
+    frame_spec: Optional[tuple] = None,
     max_buckets: int = 8,
     nfe: int = 60,
     mesh=None,
@@ -169,8 +170,12 @@ def evaluate_dataset(
     # frame_spec = (n_fft, hop, block) of the score model's STFT keeps
     # padding inside each utterance's own %64 frame block — REQUIRED for
     # quality parity with the reference's unpadded batch-1 eval (see
-    # _bucket_lengths_frames / docs/pad_dilution_r03.md). Pass
-    # frame_spec=None (e.g. the latent path) for sample-domain buckets.
+    # _bucket_lengths_frames / docs/pad_dilution_r03.md). It is OPT-IN
+    # (None default) because it must match the MODEL's STFT, which this
+    # function cannot see — a wrong grid silently re-creates the very
+    # cliff it prevents, and it overrides bucket_multiple. cli/evaluate
+    # passes the configured model's spec; do the same for waveform
+    # models, and keep None (sample-domain buckets) for latent paths.
     lengths = [dataset[i][0].shape[-1] for i in range(n_items)]
     if frame_spec is not None:
         assigned = _bucket_lengths_frames(lengths, frame_spec, max_buckets)

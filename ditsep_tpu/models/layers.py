@@ -85,7 +85,12 @@ def time_mask_to_gn(tmask, x):
 
 def pool_time_mask(tmask):
     """Downsample a (B, W) frame mask by 2 (a pooled column is valid if
-    either source column was) to follow the U-Net resolution ladder."""
+    either source column was) to follow the U-Net resolution ladder.
+    Odd widths pad with an invalid column first — without it the two
+    strided views have different widths and jnp broadcasting silently
+    blurs (or empties) the mask instead of erroring."""
+    if tmask.shape[-1] % 2:
+        tmask = jnp.pad(tmask, ((0, 0), (0, 1)), constant_values=False)
     return jnp.logical_or(tmask[:, ::2], tmask[:, 1::2])
 
 

@@ -168,8 +168,9 @@ class ScoreModelNCSNpp(nn.Module):
                 time_mask = jnp.broadcast_to(
                     t_idx < (n_frames - n_pad), (h.shape[0], n_frames))
             else:
-                frames_valid = (lengths + (self.n_fft - self.hop_length)
-                                ) // self.hop_length + 1
+                from ditsep_tpu.ops.stft import n_frames_prepadded
+                frames_valid = n_frames_prepadded(
+                    lengths, self.n_fft, self.hop_length)
                 time_mask = t_idx[None, :] < frames_valid[:, None]
         h = self.backbone(h, time_cond, train=train, time_mask=time_mask)
         return self.post_process(h, n_samples, n_pad)

@@ -103,6 +103,32 @@ def overlap_add(frames: Array, hop_length: int) -> Array:
     return total.reshape(frames.shape[:-2] + (out_rows * h,))
 
 
+def n_frames_prepadded(length, n_fft: int, hop_length: int):
+    """Frame count the separation score model's STFT produces for a
+    ``length``-sample waveform, INCLUDING its n_fft-hop pre-pad
+    (reference: src/models/diffsep/score_models.py:107-116).
+
+    This is THE canonical frame-grid formula: eval bucketing, the
+    serving engine's buckets, the val loader's bucket boundaries, and
+    the mask_padding frame masks must all agree with the model's real
+    grid, so they all import this one definition. Works on Python ints
+    and jnp arrays (floor division)."""
+    return (length + (n_fft - hop_length)) // hop_length + 1
+
+
+def frame_block_padded_len(length: int, n_fft: int, hop_length: int,
+                           block: int = 64) -> int:
+    """Largest sample count whose frame count (per
+    :func:`n_frames_prepadded`) stays inside the same ``block``-frame
+    block as ``length`` — the model zero-pads frames to a %``block``
+    boundary (reference: score_models.py:83-91), so padding a waveform
+    up to this length adds ZERO extra quiet columns through the U-Net
+    (docs/pad_dilution_r03.md)."""
+    frames = n_frames_prepadded(length, n_fft, hop_length)
+    blocks = -(-frames // block)
+    return hop_length * (block * blocks) - 1 - (n_fft - hop_length)
+
+
 def stft(
     x: Array,
     n_fft: int = 510,

@@ -38,18 +38,15 @@ import numpy as np
 def frame_block_padded_len(length: int, frame_spec: Tuple[int, int, int]
                            ) -> int:
     """Largest sample count whose STFT frame count stays inside the same
-    ``block``-frame block as ``length``.
+    ``block``-frame block as ``length`` — the engine's buckets are
+    exactly the model's own %block frame pads, so bucket padding adds
+    ZERO extra quiet columns through the U-Net (canonical math:
+    ops/stft.py, shared with eval bucketing and the mask_padding frame
+    masks)."""
+    from ditsep_tpu.ops.stft import frame_block_padded_len as _impl
 
-    The score model pads STFT frames to a multiple of ``block`` (=64;
-    reference: src/models/diffsep/score_models.py:83-91), so padding a
-    waveform up to this boundary adds ZERO extra quiet columns through
-    the U-Net — the engine's buckets are exactly the model's own frame
-    blocks. frames(L) = (L + n_fft - hop)//hop + 1 (pre-pad of
-    n_fft - hop; see eval/evaluate._stft_frames)."""
     n_fft, hop, block = frame_spec
-    frames = (length + (n_fft - hop)) // hop + 1
-    blocks = -(-frames // block)
-    return hop * (block * blocks) - 1 - (n_fft - hop)
+    return _impl(length, n_fft, hop, block)
 
 
 @dataclass

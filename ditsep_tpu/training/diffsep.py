@@ -408,7 +408,11 @@ class DiffSepTrainer:
         NFE of PC at the same step count; an efficiency extension beyond
         the reference)."""
         cfg = self.cfg
-        (mix, _), mean, std = sep_utils.normalize_batch((mix, None))
+        # masked normalization when lengths are given: padded-batch stats
+        # must match each item's native-length stats, or the score net
+        # sees an off-scale input no frame masking can repair
+        (mix, _), mean, std = sep_utils.normalize_batch((mix, None),
+                                                        lengths=lengths)
         score_fn = lambda x, t, y: self.model_fwd(params, x, t, y,
                                                   lengths=lengths)
         if self.is_edm:

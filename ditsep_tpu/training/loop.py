@@ -134,9 +134,13 @@ def fit(
         frame_spec = ((m.n_fft, m.hop_length, 64)
                       if hasattr(m, "n_fft") and hasattr(m, "hop_length")
                       else None)
+        # align="left": val padding must be TRAILING quiet — the layout
+        # the model sees at native lengths and in the test-eval harness
+        # (train batches keep the reference's centered collation)
         val_loader = BucketedLoader(val_dataset, batch_size=batch_size,
                                     n_buckets=2, multiple=bucket_multiple,
-                                    shuffle=False, frame_spec=frame_spec)
+                                    shuffle=False, frame_spec=frame_spec,
+                                    align="left")
 
     global_step = int(state.step)
     try:

@@ -52,18 +52,41 @@ def select_elem_at_random(key: Array, x: Array, axis: int = -1) -> Array:
 
 
 def normalize_batch(
-    batch: Tuple[Array, Optional[Array]]
+    batch: Tuple[Array, Optional[Array]],
+    lengths: Optional[Array] = None,
 ) -> Tuple[Tuple[Array, Optional[Array]], Array, Array]:
     """Normalize by the mixture's mean/std (reference:
     src/utils/separate.py:56-63). std uses the unbiased (ddof=1) estimator to
-    match torch.std."""
+    match torch.std.
+
+    ``lengths`` (B,) restricts the statistics to each item's valid
+    samples and re-zeroes the padded tail after normalization. Without
+    it, batch-padding zeros dilute the std (a 1600-sample item padded to
+    2600 sees its input amplified ~1.27x vs native) AND the padded tail
+    becomes the nonzero constant -mean/std instead of the zero frames
+    the model's own %64 pad produces — both off the training condition.
+    Masked stats + re-zeroed tail make the normalized padded batch
+    IDENTICAL to the native-length batch on the valid region."""
     mix, tgt = batch
-    mean = jnp.mean(mix, axis=(1, 2), keepdims=True)
-    std = jnp.clip(jnp.std(mix, axis=(1, 2), keepdims=True, ddof=1),
-                   min=1e-5)
-    mix = (mix - mean) / std
+    if lengths is None:
+        mean = jnp.mean(mix, axis=(1, 2), keepdims=True)
+        std = jnp.clip(jnp.std(mix, axis=(1, 2), keepdims=True, ddof=1),
+                       min=1e-5)
+        mix = (mix - mean) / std
+        if tgt is not None:
+            tgt = (tgt - mean) / std
+        return (mix, tgt), mean, std
+    valid = (jnp.arange(mix.shape[-1])[None, None, :]
+             < lengths[:, None, None])
+    n = (lengths[:, None, None] * mix.shape[1]).astype(mix.dtype)
+    mean = jnp.sum(jnp.where(valid, mix, 0.0), axis=(1, 2),
+                   keepdims=True) / jnp.maximum(n, 1.0)
+    var = jnp.sum(jnp.where(valid, (mix - mean) ** 2, 0.0), axis=(1, 2),
+                  keepdims=True) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.clip(jnp.sqrt(var), min=1e-5)
+    mix = jnp.where(valid, (mix - mean) / std, 0.0)
     if tgt is not None:
-        tgt = (tgt - mean) / std
+        tgt = jnp.where(valid, (tgt - mean) / std, 0.0)
     return (mix, tgt), mean, std
 
 
