@@ -26,6 +26,10 @@ from ditsep_tpu.models.unet1d import (
     XUNet1d,
 )
 from ditsep_tpu.models.dau1d import DiffusionAttnUnet1D
+from ditsep_tpu.models.sepformer import (
+    SepFormer,
+    sepformer_params_from_torch,
+)
 from ditsep_tpu.models.torch_import import (
     diffsep_ema_param_order,
     import_diffsep_ema,
