@@ -42,8 +42,16 @@ def make_dataset(cfg, split: str, data_path: Optional[str],
             n_items=synthetic_items,
             n_spkr=cfg["datamodule"].get("n_spkr", 2),
             fs=cfg["datamodule"].get("fs", 8000), **kw)
-    from ditsep_tpu.data import WSJ0Mix
     dm = cfg["datamodule"]
+    if dm.get("dataset") == "vctk_demand":
+        # enhancement family: clean+noise "2-source separation" pairs
+        # (reference: src/train_diffsep.py:131-134 selects the Valentini
+        # datamodule when cfg.name == "enhancement")
+        from ditsep_tpu.data import NoisyDataset
+        return NoisyDataset(
+            path=data_path, split=split, fs=dm.get("fs", 16000),
+            len_s=dm.get("max_len_s") if split == "train" else None)
+    from ditsep_tpu.data import WSJ0Mix
     return WSJ0Mix(
         path=data_path, n_spkr=dm.get("n_spkr", 2), cut=dm.get("cut", "max"),
         split=dm[split]["split"], fs=dm.get("fs", 8000),

@@ -124,6 +124,36 @@ def diffsep_sb() -> Dict[str, Any]:
     return cfg
 
 
+def enhancement() -> Dict[str, Any]:
+    """Noise-reduction / speech-enhancement experiment on VCTK-DEMAND:
+    enhancement framed as 2-source (clean+noise) separation with the
+    signal-adaptive PriorMixSDE, 16 kHz, init_hack 4
+    (reference: src/config/diffsep/experiment/noise-reduction.yaml +
+    model/nr.yaml + datamodule/nr.yaml; selected by ``cfg.name ==
+    "enhancement"`` in src/train_diffsep.py:131-134)."""
+    cfg = override(diffsep(), {
+        # model/nr.yaml
+        "model.fs": 16000,
+        "model.init_hack": 4,
+        "model.train_source_order": None,
+        "model.valid_max_sep_batches": 1,
+        "model.score_model.nf": 128,
+        "model.sde": {"kind": "priormix", "ndim": 2, "d_lambda": 2.0,
+                      "sigma_min": 0.05, "sigma_max": 0.5, "N": 30},
+        # datamodule/nr.yaml (audio_len 3 s, batch 4 train / 8 val+test)
+        "datamodule.dataset": "vctk_demand",
+        "datamodule.fs": 16000,
+        "datamodule.max_len_s": 3.0,
+        "datamodule.train.batch_size": 4,
+        "datamodule.val.batch_size": 8,
+        "datamodule.test.batch_size": 8,
+        # noise-reduction.yaml
+        "trainer.accumulate_grad_batches": 4,
+    })
+    cfg["name"] = "enhancement"
+    return cfg
+
+
 def latent_diffsep_ouve() -> Dict[str, Any]:
     """Latent-domain separation
     (reference: src/config/latent_diffsep_ouve/model/default.yaml)."""
@@ -222,6 +252,7 @@ CONFIG_FAMILIES = {
     "diffsep_icassp": diffsep_icassp,
     "diffsep_ouve": diffsep_ouve,
     "diffsep_sb": diffsep_sb,
+    "enhancement": enhancement,
     "latent_diffsep_ouve": latent_diffsep_ouve,
     "ldm": ldm,
 }

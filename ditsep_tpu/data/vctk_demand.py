@@ -3,39 +3,74 @@
 Re-design of the reference NoisyDataset / Valentini_Module
 (reference: src/datasets/vctk_demand.py:21-114): enhancement framed as
 2-source separation -- items are (noisy (1,T), [clean, noise] (2,T)).
+
+Notes vs the reference:
+
+* The reference's ``augmentation=True`` permutes the *channel* dim of
+  the noise (``torch.randperm(clean.size(0))``, vctk_demand.py:73-76),
+  which is a no-op for the mono Valentini corpus it is configured on --
+  intentionally not reproduced.
+* ``Valentini_Module.setup`` (vctk_demand.py:92-98) holds out a random
+  10% of the train set as validation; here the split is deterministic
+  (seeded permutation of the file list) so train/val never overlap
+  across processes or restarts.
+* Both directory layouts are accepted: the Valentini-native
+  ``{noisy,clean}_{split}set_wav`` and the reference's preprocessed
+  ``{split}/{noisy,clean}``.
 """
 from __future__ import annotations
 
 import dataclasses
 import os
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ditsep_tpu.data.wsj0_mix import read_wav
 
 
+def _resolve_dirs(root: Path, part: str) -> Tuple[Path, Path]:
+    """Locate (noisy_dir, clean_dir) for a corpus part ('train'|'test')."""
+    candidates = [
+        (root / f"noisy_{part}set_wav", root / f"clean_{part}set_wav"),
+        (root / part / "noisy", root / part / "clean"),
+    ]
+    for noisy, clean in candidates:
+        if noisy.exists():
+            return noisy, clean
+    return candidates[0]
+
+
 @dataclasses.dataclass
 class NoisyDataset:
     """(reference: src/datasets/vctk_demand.py:21-89). Tiles or crops every
-    item to `len_s` seconds (4 s default)."""
+    item to `len_s` seconds (4 s default). ``split`` may be 'train',
+    'val' (deterministic 10% holdout of the train files -- reference
+    Valentini_Module.setup, :92-98) or 'test'."""
 
     path: str
-    split: str = "train"  # 'train' | 'test'
+    split: str = "train"  # 'train' | 'val' | 'test'
     fs: int = 16000
     len_s: Optional[float] = 4.0
     rng_seed: int = 0
+    val_fraction: float = 0.1
 
     def __post_init__(self):
-        root = Path(self.path)
-        self.clean_dir = root / f"clean_{self.split}set_wav"
-        self.noisy_dir = root / f"noisy_{self.split}set_wav"
+        if self.split not in ("train", "val", "test"):
+            raise ValueError(f"bad split {self.split!r}")
+        part = "test" if self.split == "test" else "train"
+        self.noisy_dir, self.clean_dir = _resolve_dirs(Path(self.path), part)
+        files: List[str] = []
         if self.noisy_dir.exists():
-            self.files = sorted(
+            files = sorted(
                 f for f in os.listdir(self.noisy_dir) if f.endswith(".wav"))
-        else:
-            self.files = []
+        if self.split in ("train", "val") and files:
+            perm = np.random.default_rng(self.rng_seed).permutation(len(files))
+            n_val = int(len(files) * self.val_fraction)
+            keep = perm[:n_val] if self.split == "val" else perm[n_val:]
+            files = [files[i] for i in sorted(keep)]
+        self.files = files
         self._rng = np.random.default_rng(self.rng_seed)
 
     def __len__(self):

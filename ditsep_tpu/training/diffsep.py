@@ -181,11 +181,33 @@ class DiffSepTrainer:
     def compute_score_loss(self, params, key, mix, target, *,
                            train=False, rngs=None) -> Array:
         """Plain denoising score matching ||L s_theta + z||^2
-        (reference: src/diffsep.py:345-358 / :836-841)."""
-        k_t, k_z = jax.random.split(key)
+        (reference: src/diffsep.py:345-358 / :836-841).
+
+        With ``cfg.init_hack == 4`` on a matrix SDE the prior is the
+        reference's hack-4 variant (src/diffsep.py:160-175, the
+        noise-reduction experiment config): each sample is clamped to
+        t=T with probability 1/sde.N, its mean replaced by the
+        true-mixture anchor via a redefined noise target
+        z + L^{-1}(anchor - mean). Static-shape: both branches
+        computed, Bernoulli select (no data-dependent indexing).
+        Hacks 1-3 are dead options (no reference config sets them);
+        scalar SDEs ignore hack 4 exactly as the reference's DiffSepOU
+        does (its sample_prior, src/diffsep.py:799-811, has no hack
+        branch even though diffsep_ouve/model/nr.yaml sets
+        init_hack: 4)."""
+        cfg = self.cfg
+        hack4 = cfg.init_hack == 4 and self.is_matrix
+        k_t, k_z, k_sel = jax.random.split(key, 3)
         time = self.sample_time(k_t, target.shape[0])
+        if hack4:
+            select = jax.random.uniform(k_sel, time.shape) < 1.0 / self.sde.N
+            time = jnp.where(select, self.sde.T, time)
         mean, L = self._marginal(target, time, mix)
         z = jax.random.normal(k_z, target.shape, dtype=target.dtype)
+        if hack4:
+            anchor = self._anchor(mix, target.shape)
+            z_mod = z + self.sde.mult_std_inv(L, anchor - mean)
+            z = jnp.where(bcast_right(select, z.ndim), z_mod, z)
         x_t = mean + self.sde.mult_std(L, z)
         pred = self.model_fwd(params, x_t, time, mix, train=train, rngs=rngs)
         l_score = self.sde.mult_std(L, pred)

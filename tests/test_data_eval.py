@@ -351,3 +351,61 @@ def test_prepare_audio_inference_utils():
 
     z = np.random.default_rng(2).normal(size=(2, 5, 100))
     assert set_audio_channels(z, 2).shape == (2, 2, 100)
+
+
+# -------------------------------------------------------- VCTK-DEMAND -----
+def _make_valentini(tmp_path, layout="valentini", n_train=6, n_test=2,
+                    fs=16000):
+    from ditsep_tpu.data import write_wav as _ww
+    rng = np.random.default_rng(0)
+    if layout == "valentini":
+        dirs = {("train", "noisy"): tmp_path / "noisy_trainset_wav",
+                ("train", "clean"): tmp_path / "clean_trainset_wav",
+                ("test", "noisy"): tmp_path / "noisy_testset_wav",
+                ("test", "clean"): tmp_path / "clean_testset_wav"}
+    else:  # the reference's preprocessed layout ({split}/{noisy,clean})
+        dirs = {(s, k): tmp_path / s / k
+                for s in ("train", "test") for k in ("noisy", "clean")}
+    for d in dirs.values():
+        d.mkdir(parents=True, exist_ok=True)
+    for part, n in (("train", n_train), ("test", n_test)):
+        for i in range(n):
+            t = int(rng.integers(fs // 2, fs * 2))
+            clean = (rng.normal(size=t) * 0.1).astype(np.float32)
+            noise = (rng.normal(size=t) * 0.05).astype(np.float32)
+            _ww(str(dirs[(part, "clean")] / f"p{i}.wav"), clean, fs)
+            _ww(str(dirs[(part, "noisy")] / f"p{i}.wav"), clean + noise, fs)
+    return tmp_path
+
+
+@pytest.mark.parametrize("layout", ["valentini", "reference"])
+def test_noisy_dataset_shapes_and_consistency(tmp_path, layout):
+    from ditsep_tpu.data import NoisyDataset
+    root = _make_valentini(tmp_path, layout=layout)
+    fs = 16000
+    ds = NoisyDataset(path=str(root), split="train", fs=fs, len_s=1.0)
+    assert len(ds) > 0
+    noisy, tgt = ds[0]
+    # tiled/cropped to len_s; targets are [clean, noise] with
+    # clean + noise == noisy exactly (noise defined as the residual)
+    assert noisy.shape == (1, fs) and tgt.shape == (2, fs)
+    np.testing.assert_allclose(tgt.sum(0), noisy[0], atol=1e-6)
+    # test split keeps native lengths (reference: vctk_demand.py:59-61)
+    dt = NoisyDataset(path=str(root), split="test", fs=fs, len_s=None)
+    assert len(dt) == 2
+    nt, tt = dt[0]
+    assert nt.shape[-1] not in (0, fs) and tt.shape == (2, nt.shape[-1])
+
+
+def test_noisy_dataset_train_val_split_disjoint(tmp_path):
+    from ditsep_tpu.data import NoisyDataset
+    root = _make_valentini(tmp_path, n_train=10)
+    tr = NoisyDataset(path=str(root), split="train", len_s=None)
+    va = NoisyDataset(path=str(root), split="val", len_s=None)
+    assert len(va) == 1 and len(tr) == 9  # 10% holdout
+    assert not set(tr.files) & set(va.files)
+    assert sorted(set(tr.files) | set(va.files)) == sorted(
+        f"p{i}.wav" for i in range(10))
+    # deterministic across constructions
+    va2 = NoisyDataset(path=str(root), split="val", len_s=None)
+    assert va.files == va2.files

@@ -203,3 +203,50 @@ def test_train_step_sharded_over_mesh():
     state2, metrics = step(state, jax.random.PRNGKey(0), (mix, tgt))
     assert np.isfinite(float(metrics["train/score_loss"]))
     assert int(state2.step) == 1
+
+
+# ------------------------------------------------------------ init hack 4 --
+def test_init_hack_4_matrix_sde_finite():
+    """Noise-reduction family: PriorMixSDE + hack 4
+    (reference: src/config/diffsep/model/nr.yaml, src/diffsep.py:160-175)."""
+    from ditsep_tpu.sdes import PriorMixSDE
+    tr = _tiny_trainer(PriorMixSDE(sigma_min=0.05, sigma_max=0.5),
+                       init_hack=4, train_source_order=None)
+    params, mix, tgt = _init(tr)
+    loss = tr.training_loss(params, jax.random.PRNGKey(1), mix, tgt)
+    assert np.isfinite(float(loss))
+
+
+def test_init_hack_4_scalar_sde_is_noop():
+    """The reference's DiffSepOU.sample_prior has no hack branch
+    (src/diffsep.py:799-811), so init_hack=4 on a scalar SDE must be a
+    no-op — identical loss to init_hack=0 under the same key."""
+    t4 = _tiny_trainer(OUVESDE(), init_hack=4, train_source_order=None)
+    t0 = _tiny_trainer(OUVESDE(), init_hack=0, train_source_order=None)
+    params, mix, tgt = _init(t4)
+    k = jax.random.PRNGKey(2)
+    l4 = t4.training_loss(params, k, mix, tgt)
+    l0 = t0.training_loss(params, k, mix, tgt)
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(l0))
+
+
+def test_init_hack_4_clamps_to_anchor():
+    """With sde.N=1 every sample is clamped to t=T with the anchor mean:
+    x_t = mix/n + L z exactly, so the redefined noise must satisfy
+    mean + L z_mod == anchor + L z (reference: src/diffsep.py:161-176)."""
+    from ditsep_tpu.sdes import MixSDE
+    sde = MixSDE(N=1)
+    tr = _tiny_trainer(sde, init_hack=4, train_source_order=None)
+    params, mix, tgt = _init(tr)
+    # reproduce the trainer's internal sampling to check the identity
+    key = jax.random.PRNGKey(3)
+    _, k_z, _ = jax.random.split(key, 3)
+    time = jnp.full((tgt.shape[0],), sde.T, dtype=tgt.dtype)
+    mean, L = tr._marginal(tgt, time, mix)
+    z = jax.random.normal(k_z, tgt.shape, dtype=tgt.dtype)
+    anchor = tr._anchor(mix, tgt.shape)
+    z_mod = z + sde.mult_std_inv(L, anchor - mean)
+    lhs = mean + sde.mult_std(L, z_mod)
+    rhs = anchor + sde.mult_std(L, z)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               atol=1e-4, rtol=1e-4)

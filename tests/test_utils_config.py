@@ -132,3 +132,21 @@ def test_override_deep_copy():
     mod = override(base, {"model.sde.sigma_max": 1.0})
     assert base["model"]["sde"]["sigma_max"] == 0.5
     assert mod["model"]["sde"]["sigma_max"] == 1.0
+
+
+def test_enhancement_family_builds():
+    """Noise-reduction experiment (reference:
+    src/config/diffsep/experiment/noise-reduction.yaml + model/nr.yaml):
+    PriorMixSDE, 16 kHz, init_hack 4, nf 128, VCTK-DEMAND datamodule."""
+    from ditsep_tpu.sdes import PriorMixSDE
+    cfg = CONFIG_FAMILIES["enhancement"]()
+    assert cfg["name"] == "enhancement"
+    assert cfg["datamodule"]["dataset"] == "vctk_demand"
+    assert cfg["datamodule"]["fs"] == 16000
+    assert cfg["trainer"]["accumulate_grad_batches"] == 4
+    tr = build_diffsep_trainer(
+        override(cfg, {"model.score_model.nf": 16}))
+    assert isinstance(tr.sde, PriorMixSDE)
+    assert tr.sde.sigma_min == 0.05 and tr.sde.sigma_max == 0.5
+    assert tr.cfg.init_hack == 4 and tr.is_matrix
+    assert tr.cfg.train_source_order is None
