@@ -249,7 +249,6 @@ def compute_metrics(mix: np.ndarray, est: np.ndarray, target: np.ndarray,
     (reference: src/evaluate_mp.py:171-189): si_sdr/si_sir/si_sar lists,
     mean pesq and estoi over permutation-aligned sources."""
     sdr, sir, sar, perm = si_bss_eval_sources(target, est)
-    est_p = est[np.argsort(perm)] if False else est
     # align est to targets via perm: est[i] matches target[perm[i]]
     aligned = np.empty_like(est)
     for i, j in enumerate(perm):

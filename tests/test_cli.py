@@ -199,3 +199,28 @@ def test_model_info_cli(capsys):
     main(["--facodec", "--length", "1000"])
     out = capsys.readouterr().out
     assert "FACodecEncoder" in out and "FACodecDecoder" in out
+
+
+def test_train_enhancement_cli(tmp_path):
+    """Noise-reduction family e2e on a fake Valentini layout: NoisyDataset
+    train/val holdout -> PriorMixSDE + init_hack 4 training -> checkpoint."""
+    from ditsep_tpu.cli.train_diffsep import main
+    from ditsep_tpu.data import write_wav
+    rng = np.random.default_rng(0)
+    root = tmp_path / "valentini"
+    for part, n in (("train", 10), ("test", 2)):
+        nd = root / f"noisy_{part}set_wav"
+        cd = root / f"clean_{part}set_wav"
+        nd.mkdir(parents=True), cd.mkdir(parents=True)
+        for i in range(n):
+            t = int(rng.integers(4000, 8000))
+            clean = (rng.normal(size=t) * 0.1).astype(np.float32)
+            noise = (rng.normal(size=t) * 0.05).astype(np.float32)
+            write_wav(str(cd / f"p{i}.wav"), clean, 16000)
+            write_wav(str(nd / f"p{i}.wav"), clean + noise, 16000)
+    wd = str(tmp_path / "run")
+    main(["--config", "enhancement", "--data-path", str(root),
+          "--workdir", wd, "--batch-size", "2", "--max-steps", "2",
+          "--max-epochs", "1",
+          "--override", *TINY_WAVEFORM, "datamodule.max_len_s=0.25"])
+    assert os.path.exists(f"{wd}/checkpoints/best-model")
