@@ -39,7 +39,10 @@ def main(argv=None):
     from ditsep_tpu.models.facodec import FACodecDecoder, FACodecEncoder
 
     enc = FACodecEncoder(ngf=32, up_ratios=(2, 4, 5, 5), out_channels=256)
-    dec = FACodecDecoder(in_channels=256, ngf=32, up_ratios=(5, 5, 4, 2))
+    # the shipped FACodec wrapper's decoder config (reference:
+    # facodec.py:629-640: upsample_initial_channel=1024, vq_dim=256)
+    dec = FACodecDecoder(in_channels=256, ngf=32, up_ratios=(5, 5, 4, 2),
+                         upsample_initial_channel=1024)
     hop = enc.hop_length
 
     key = jax.random.PRNGKey(0)

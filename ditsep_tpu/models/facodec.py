@@ -200,6 +200,10 @@ class FACodecEncoder(nn.Module):
 
 
 class FACodecDecoderBlock(nn.Module):
+    """(reference: facodec.py:222-241 DecoderBlock): act -> transposed
+    conv (kernel 2s, padding ceil(s/2), output_padding s%2) -> three
+    dilated residual units."""
+
     out_ch: int
     stride: int
 
@@ -209,7 +213,8 @@ class FACodecDecoderBlock(nn.Module):
         x = AliasFreeActivation1d(in_ch, name="act")(x)
         s = self.stride
         x = WNConvTranspose1d(self.out_ch, 2 * s, stride=s,
-                              padding=math.ceil(s / 2), name="up")(x)
+                              padding=math.ceil(s / 2),
+                              output_padding=s % 2, name="up")(x)
         for i, d in enumerate((1, 3, 9)):
             x = FACodecResUnit(self.out_ch, d, name=f"res_{i}")(x)
         return x
@@ -217,11 +222,19 @@ class FACodecDecoderBlock(nn.Module):
 
 class FacodecTimbreEncoder(nn.Module):
     """Timbre transformer over encoder frames (reference:
-    src/models/facodec/transformer.py:86-235, instantiated facodec.py with
-    4 layers, hidden 256, 4 heads, conv-FFN filter 1024 kernel 5): pre-LN
-    self-attention + FastSpeech-style conv FFN, sinusoidal positions,
-    final LayerNorm. (B, T, D) -> (B, T, D); the decoder mean-pools it
-    into the speaker embedding."""
+    src/models/facodec/transformer.py:154-234, instantiated in
+    facodec.py:358-368 with 4 layers, hidden 256, 4 heads, conv-FFN
+    filter 1024 kernel 5): post-LN-free pre-norm self-attention +
+    FastSpeech-style conv FFN, final LayerNorm. (B, T, D) -> (B, T, D);
+    the decoder mean-pools it into the speaker embedding.
+
+    Faithfulness notes: the reference's PositionalEncoding builds a
+    (max_len, 1, d) table for time-major input but is applied to
+    batch-first input as ``x + pe[:batch]`` (transformer.py:49-51), so
+    each batch item receives the sinusoid of its *batch index* as a
+    constant over time -- reproduced literally here for numerical
+    parity. Dropout (0.1 at train in the reference) is omitted: this
+    module is used for inference/import parity, not trained here."""
 
     hidden: int = 256
     num_layers: int = 4
@@ -229,64 +242,120 @@ class FacodecTimbreEncoder(nn.Module):
     filter_size: int = 1024
     kernel_size: int = 5
 
+    def _attention(self, i: int, x: Array) -> Array:
+        """torch nn.MultiheadAttention (batch_first): fused qkv
+        projection + out projection, scale 1/sqrt(head_dim)."""
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, name=f"qkv_{i}")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name=f"out_{i}")(out)
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        t, d = x.shape[1], x.shape[2]
+        b, d = x.shape[0], x.shape[2]
         assert d == self.hidden, "timbre encoder runs at the codec width"
-        pos = jnp.arange(t)[:, None] * jnp.exp(
+        # the reference's literal pe[:batch] quirk (see class docstring)
+        pos = jnp.arange(b)[:, None] * jnp.exp(
             jnp.arange(0, d, 2) * (-math.log(10000.0) / d))[None, :]
-        pe = jnp.zeros((t, d)).at[:, 0::2].set(jnp.sin(pos))
+        pe = jnp.zeros((b, d)).at[:, 0::2].set(jnp.sin(pos))
         pe = pe.at[:, 1::2].set(jnp.cos(pos))
-        x = x + pe[None]
+        x = x + pe[:, None, :]
         for i in range(self.num_layers):
-            a = nn.LayerNorm(name=f"ln1_{i}")(x)
-            x = x + nn.SelfAttention(self.num_heads,
-                                     name=f"attn_{i}")(a)
-            f = nn.LayerNorm(name=f"ln2_{i}")(x)
+            a = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(x)
+            x = x + self._attention(i, a)
+            f = nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")(x)
             f = nn.Conv(self.filter_size, (self.kernel_size,),
-                        padding="SAME", name=f"ffn1_{i}")(f)
+                        padding=self.kernel_size // 2,
+                        name=f"ffn1_{i}")(f)
             x = x + nn.Dense(self.hidden, name=f"ffn2_{i}")(
                 jax.nn.relu(f))
-        return nn.LayerNorm(name="ln_out")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_out")(x)
+
+
+class WNDense(nn.Module):
+    """Weight-normalized Linear matching torch.nn.utils.weight_norm
+    (nn.Linear): v (in, out) direction (torch weight_v.T), g (out,)
+    magnitude, norm over the input axis per output unit."""
+
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        v = self.param("v", nn.initializers.he_uniform(),
+                       (in_dim, self.out_dim))
+        g = self.param(
+            "g", lambda key, shape: jnp.sqrt(
+                jnp.sum(v.astype(jnp.float32) ** 2, axis=0)),
+            (self.out_dim,))
+        norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2, axis=0,
+                                keepdims=True) + 1e-12)
+        y = x @ ((v / norm) * g[None, :])
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,))
+        return y
 
 
 class FactorizedVQ(nn.Module):
-    """Factorized vector quantizer: project down, l2-normalize, nearest
-    code, project up (reference: src/models/facodec/quantize/fvq.py:16).
-    Straight-through; gradient codebook learning."""
+    """Factorized vector quantizer (reference:
+    src/models/facodec/quantize/fvq.py:16-120): weight-normed linear
+    projection into the low-dim codebook space, nearest code under the
+    *l2-normalized* distance, but the selected code vector is the RAW
+    codebook embedding (fvq.py:103-120 decode_latents embeds the index,
+    not the normalized row); straight-through in the codebook space,
+    then weight-normed projection back up. Commitment/codebook losses
+    follow fvq.py:66-74 (per-batch-item means, commitment-weighted;
+    zero when not ``train``, matching the reference eval path)."""
 
     dim: int
     codebook_size: int = 1024
     codebook_dim: int = 8
+    commitment: float = 0.005  # reference vq_commit_weight
 
-    @nn.compact
-    def __call__(self, x: Array) -> Tuple[Array, Array, Array]:
-        """x: (B, T, D) -> (quantized (B,T,D), indices (B,T), loss)."""
-        z = nn.Dense(self.codebook_dim, use_bias=False, name="proj_in")(x)
-        z = z / jnp.clip(jnp.linalg.norm(z, axis=-1, keepdims=True),
-                         min=1e-8)
-        codebook = self.param("codebook", nn.initializers.normal(1.0),
-                              (self.codebook_size, self.codebook_dim))
-        cb = codebook / jnp.clip(
-            jnp.linalg.norm(codebook, axis=-1, keepdims=True), min=1e-8)
-        d = -z @ cb.T  # cosine distance
-        idx = jnp.argmin(d, axis=-1)
-        sel = cb[idx]
-        loss = jnp.mean((jax.lax.stop_gradient(z) - sel) ** 2) \
-            + 0.25 * jnp.mean((z - jax.lax.stop_gradient(sel)) ** 2)
-        sel_st = z + jax.lax.stop_gradient(sel - z)
-        out = nn.Dense(self.dim, use_bias=False, name="proj_out")(sel_st)
-        return out, idx, loss
+    def setup(self):
+        self.proj_in = WNDense(self.codebook_dim, name="proj_in")
+        self.proj_out = WNDense(self.dim, name="proj_out")
+        self.codebook = self.param(
+            "codebook", nn.initializers.normal(1.0),
+            (self.codebook_size, self.codebook_dim))
+
+    def __call__(self, x: Array, train: bool = False
+                 ) -> Tuple[Array, Array, Array]:
+        """x: (B, T, D) -> (quantized (B,T,D), indices (B,T), loss (B,))."""
+        z_e = self.proj_in(x)
+        zn = z_e / jnp.clip(jnp.linalg.norm(z_e, axis=-1, keepdims=True),
+                            min=1e-12)
+        cb = self.codebook / jnp.clip(
+            jnp.linalg.norm(self.codebook, axis=-1, keepdims=True),
+            min=1e-12)
+        idx = jnp.argmax(zn @ cb.T, axis=-1)  # min l2 == max cosine
+        z_q = self.codebook[idx]  # RAW embedding (fvq.py:116-120)
+        if train:
+            commit = self.commitment * jnp.mean(
+                (z_e - jax.lax.stop_gradient(z_q)) ** 2, axis=(1, 2))
+            codebook_loss = jnp.mean(
+                (z_q - jax.lax.stop_gradient(z_e)) ** 2, axis=(1, 2))
+            loss = commit + codebook_loss
+        else:
+            loss = jnp.zeros((x.shape[0],), x.dtype)
+        z_st = z_e + jax.lax.stop_gradient(z_q - z_e)
+        return self.proj_out(z_st), idx, loss
 
     def lookup(self, idx: Array) -> Array:
         """Codes (B, T) -> embeddings (B, T, D)
-        (reference: fvq.py:86 vq2emb)."""
-        codebook = self.get_variable("params", "codebook")
-        cb = codebook / jnp.clip(
-            jnp.linalg.norm(codebook, axis=-1, keepdims=True), min=1e-8)
-        # proj_out kernel: (codebook_dim, dim)
-        w = self.get_variable("params", "proj_out")["kernel"]
-        return cb[idx] @ w
+        (reference: fvq.py:86-90 vq2emb: raw embed -> out_proj)."""
+        return self.proj_out(self.codebook[idx])
 
 
 class FacodecRVQ(nn.Module):
@@ -299,27 +368,31 @@ class FacodecRVQ(nn.Module):
     dim: int
     codebook_size: int = 1024
     codebook_dim: int = 8
+    commitment: float = 0.005
 
     def setup(self):
         self.layers = [FactorizedVQ(self.dim, self.codebook_size,
-                                    self.codebook_dim, name=f"vq_{i}")
+                                    self.codebook_dim, self.commitment,
+                                    name=f"vq_{i}")
                        for i in range(self.num_quantizers)]
 
-    def __call__(self, x: Array, n_quantizers: Optional[int] = None):
+    def __call__(self, x: Array, n_quantizers: Optional[int] = None,
+                 train: bool = False):
         """x: (B, T, D) -> (quantized_out, codes (nq, B, T), losses (nq,)).
         ``n_quantizers`` statically caps the active depth (reference
-        rvq.py:50-51 eval-path break)."""
+        rvq.py:50-51 eval-path break); per-layer losses are batch means
+        (rvq.py:64-66)."""
         n = self.num_quantizers if n_quantizers is None else min(
             int(n_quantizers), self.num_quantizers)
         out = jnp.zeros_like(x)
         residual = x
         codes, losses = [], []
         for i in range(n):
-            q, idx, loss = self.layers[i](residual)
+            q, idx, loss = self.layers[i](residual, train=train)
             residual = residual - q
             out = out + q
             codes.append(idx)
-            losses.append(loss)
+            losses.append(jnp.mean(loss))
         return out, jnp.stack(codes), jnp.stack(losses)
 
     def lookup(self, codes: Array) -> Array:
@@ -370,6 +443,11 @@ class FACodecDecoder(nn.Module):
     in_channels: int = 256
     ngf: int = 32
     up_ratios: Sequence[int] = (5, 5, 4, 2)
+    # width of the decoder stem; halves per upsampling block (reference:
+    # facodec.py:339-346; the shipped FACodec wrapper passes 1024,
+    # facodec.py:630; the class default there is 1536). None keeps the
+    # compact ngf-derived schedule (ngf * 2^len(up_ratios)).
+    upsample_initial_channel: Optional[int] = None
     vq_num_q_p: int = 1
     vq_num_q_c: int = 2
     vq_num_q_r: int = 3
@@ -422,7 +500,9 @@ class FACodecDecoder(nn.Module):
             self.x_timbre_head = CNNLSTMHead(self.num_speakers,
                                              num_heads=1, global_pred=True)
         # the upsampling stack (shared by __call__ and decode_with_timbre)
-        d = self.ngf * (2 ** len(self.up_ratios))
+        d = (self.upsample_initial_channel
+             if self.upsample_initial_channel is not None
+             else self.ngf * (2 ** len(self.up_ratios)))
         self.dec_stem = WNConv1d(d, 7, padding=3, name="dec_stem")
         blocks = []
         for i, s in enumerate(self.up_ratios):
@@ -431,26 +511,26 @@ class FACodecDecoder(nn.Module):
                                               name=f"dec_block_{i}"))
         self.dec_blocks = blocks
         self.dec_act = AliasFreeActivation1d(d, name="dec_act")
-        self.dec_head = WNConv1d(1, 7, padding=3, use_bias=False,
-                                 name="dec_head")
+        self.dec_head = WNConv1d(1, 7, padding=3, name="dec_head")
 
     @property
     def num_quantizers(self) -> int:
         return self.vq_num_q_p + self.vq_num_q_c + self.vq_num_q_r
 
-    def quantize(self, x: Array, n_quantizers: Optional[int] = None):
+    def quantize(self, x: Array, n_quantizers: Optional[int] = None,
+                 train: bool = False):
         """x: (B, T, D) NTC. Returns (out_sum, codes (nq_total, B, T),
         losses (nq_total,), [q_p, q_c, (q_r)] per-group sums)
         (reference: facodec.py:410-448)."""
-        qp, cp, lp = self.q_prosody(x, n_quantizers)
-        qc, cc, lc = self.q_content(x, n_quantizers)
+        qp, cp, lp = self.q_prosody(x, n_quantizers, train=train)
+        qc, cc, lc = self.q_content(x, n_quantizers, train=train)
         outs = qp + qc
         codes = [cp, cc]
         losses = [lp, lc]
         groups = [qp, qc]
         if self.vq_num_q_r > 0:
             res_in = x - jax.lax.stop_gradient(qp + qc)
-            qr, cr, lr = self.q_residual(res_in, n_quantizers)
+            qr, cr, lr = self.q_residual(res_in, n_quantizers, train=train)
             outs = outs + qr
             codes.append(cr)
             losses.append(lr)
@@ -486,7 +566,8 @@ class FACodecDecoder(nn.Module):
         residual-group mask (reference: facodec.py:515-540; needs an
         ``rvq_mask`` rng)."""
         x = jnp.swapaxes(h, 1, 2)  # (B, T, D)
-        _, codes, losses, groups = self.quantize(x, n_quantizers)
+        _, codes, losses, groups = self.quantize(x, n_quantizers,
+                                                 train=train)
 
         spk_from_x = jnp.mean(self.timbre_encoder(x), axis=1)
         spk = (spk_from_x if speaker_embedding is None

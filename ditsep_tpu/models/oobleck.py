@@ -117,6 +117,7 @@ class WNConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int
     padding: int
+    output_padding: int = 0  # torch ConvTranspose1d output_padding
     use_bias: bool = True
     dtype: Any = None
 
@@ -134,12 +135,14 @@ class WNConvTranspose1d(nn.Module):
                                 keepdims=True) + 1e-12)
         w = (v / norm) * g.reshape(1, 1, -1)  # (k, out, in)
         # transposed conv == conv with flipped kernel, lhs_dilation=stride,
-        # padding (k-1-p) each side
+        # padding (k-1-p) each side; torch's output_padding extends the
+        # right edge only (out = (T-1)*s - 2p + k + output_padding)
         w = jnp.flip(w, axis=0).transpose(0, 2, 1)  # (k, in, out)
         dt = self.dtype or x.dtype
         p = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
-            x, w.astype(dt), window_strides=(1,), padding=[(p, p)],
+            x, w.astype(dt), window_strides=(1,),
+            padding=[(p, p + self.output_padding)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:

@@ -317,7 +317,8 @@ def test_facodec_roundtrip_and_vq():
     pd = dec.init(KEY, h, return_info=True)
     audio, info = dec.apply(pd, h, return_info=True)
     assert audio.shape == x.shape
-    assert float(info["vq_loss"]) > 0
+    # eval-mode commit loss is zero (reference fvq.py:72-74)
+    assert float(info["vq_loss"]) == 0.0
     assert info["indices"].shape == (1, 32, 3)
     # supervision + disentanglement heads (facodec.py:477-511)
     assert info["f0"].shape == info["uv"].shape == (1, 32)
@@ -334,10 +335,12 @@ def test_facodec_roundtrip_and_vq():
     assert vc.shape == x.shape
     assert not np.allclose(np.asarray(vc), np.asarray(audio))
 
-    # random residual masking path needs the rvq_mask rng
-    audio_tr = dec.apply(pd, h, train=True,
-                         rngs={"rvq_mask": jax.random.PRNGKey(1)})
+    # random residual masking path needs the rvq_mask rng; train mode
+    # also computes the commitment/codebook VQ losses
+    audio_tr, info_tr = dec.apply(pd, h, train=True, return_info=True,
+                                  rngs={"rvq_mask": jax.random.PRNGKey(1)})
     assert audio_tr.shape == x.shape
+    assert float(info_tr["vq_loss"]) > 0
 
     g = jax.grad(lambda z: jnp.sum(gradient_reversal(z, 3.0) * 2.0))(
         jnp.ones((2,)))
