@@ -50,6 +50,12 @@ def main(argv=None):
     p.add_argument("--overlap-seconds", type=float, default=1.0,
                    help="window overlap for --chunk-seconds "
                         "(alignment + crossfade region)")
+    p.add_argument("--streaming-block-seconds", type=float, default=None,
+                   help="with --chunk-seconds: feed each file through "
+                        "the bounded-latency StreamingSeparator in "
+                        "blocks of this many seconds (exercises the "
+                        "real-time path, serving/streaming.py) instead "
+                        "of the offline stitcher")
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
@@ -94,7 +100,21 @@ def main(argv=None):
         mix, in_fs = read_wav(os.path.join(args.input, f))
         mix = np.atleast_2d(mix).reshape(1, 1, -1).astype(np.float32)
         key, sub = jax.random.split(key)
-        if args.chunk_seconds:
+        if args.chunk_seconds and args.streaming_block_seconds:
+            from ditsep_tpu.serving import StreamingSeparator
+            stream = StreamingSeparator(
+                sep_chunk,
+                chunk_samples=int(args.chunk_seconds * fs),
+                overlap_samples=int(args.overlap_seconds * fs),
+                n_src=n_src, key=sub,
+                pass_lengths=args.mask_padding)
+            block = max(1, int(args.streaming_block_seconds * fs))
+            flat = mix.reshape(-1)
+            pieces = [stream.push(flat[s:s + block])
+                      for s in range(0, flat.shape[-1], block)]
+            pieces.append(stream.flush())
+            est = np.concatenate(pieces, axis=-1)
+        elif args.chunk_seconds:
             from ditsep_tpu.inference import separate_longform
             est = separate_longform(
                 sep_chunk, mix.reshape(-1),

@@ -16,6 +16,7 @@ dependency-free HTTP JSON/WAV API.
 from ditsep_tpu.serving.engine import (BatchingEngine,
                                        frame_block_padded_len)
 from ditsep_tpu.serving.api import SeparationAPIServer
+from ditsep_tpu.serving.streaming import StreamingSeparator
 
 __all__ = ["BatchingEngine", "SeparationAPIServer",
-           "frame_block_padded_len"]
+           "StreamingSeparator", "frame_block_padded_len"]

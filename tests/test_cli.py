@@ -187,6 +187,26 @@ def test_separate_cli_chunked(tmp_path):
     assert np.isfinite(est).all()
 
 
+def test_separate_cli_streaming(tmp_path):
+    """Bounded-latency streaming mode: the same file flows through
+    serving.StreamingSeparator in small blocks (real-time path)."""
+    from ditsep_tpu.cli.separate import main
+    from ditsep_tpu.data import read_wav, write_wav
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.default_rng(2)
+    write_wav(str(in_dir / "stream.wav"),
+              rng.standard_normal(12000).astype(np.float32) * 0.3, 8000)
+    out_dir = str(tmp_path / "out")
+    main(["--config", "diffsep", "--input", str(in_dir), "--output",
+          out_dir, "--sampler-N", "2", "--chunk-seconds", "0.5",
+          "--overlap-seconds", "0.1", "--streaming-block-seconds", "0.2",
+          "--override", *TINY_WAVEFORM])
+    est, fs = read_wav(f"{out_dir}/s0/stream.wav")
+    assert fs == 8000 and est.shape[-1] == 12000
+    assert np.isfinite(est).all()
+
+
 def test_model_info_cli(capsys):
     """Parameter-inventory probe (reference: scripts/vae_print.py,
     facodec_print.py, debug.py) -- eval_shape only, so even the flagship
