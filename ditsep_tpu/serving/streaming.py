@@ -84,6 +84,8 @@ class StreamingSeparator:
         self._key = jax.random.PRNGKey(seed) if key is None else key
 
         self._in = np.zeros((0,), np.float32)
+        self._pending = []      # blocks not yet merged into _in
+        self._pending_n = 0
         self._in_base = 0       # absolute index of _in[0]
         self._out = np.zeros((self.n_src, 0), np.float32)
         self._out_base = 0      # absolute index of _out[:, 0] == emitted
@@ -131,8 +133,17 @@ class StreamingSeparator:
         self._prev_end = s + est.shape[-1]
         self._next_start = s + self.hop
 
+    def _merge_pending(self) -> None:
+        if self._pending:
+            self._in = np.concatenate([self._in] + self._pending)
+            self._pending = []
+            self._pending_n = 0
+
     def _process_ready(self) -> None:
-        total = self._in_base + self._in.shape[-1]
+        total = (self._in_base + self._in.shape[-1] + self._pending_n)
+        if total < self._next_start + self.chunk:
+            return
+        self._merge_pending()
         while total >= self._next_start + self.chunk:
             s = self._next_start
             off = s - self._in_base
@@ -161,7 +172,8 @@ class StreamingSeparator:
             raise RuntimeError("push after flush")
         block = np.asarray(block, np.float32).reshape(-1)
         if block.size:
-            self._in = np.concatenate([self._in, block])
+            self._pending.append(block)
+            self._pending_n += block.shape[-1]
         self._process_ready()
         # samples before the next window's start are final: every later
         # window writes >= _next_start
@@ -174,6 +186,7 @@ class StreamingSeparator:
         if self._flushed:
             return np.zeros((self.n_src, 0), np.float32)
         self._flushed = True
+        self._merge_pending()
         total = self._in_base + self._in.shape[-1]
         if total > self._prev_end:  # a partial window remains
             s = self._next_start
