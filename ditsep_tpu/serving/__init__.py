@@ -16,7 +16,9 @@ dependency-free HTTP JSON/WAV API.
 from ditsep_tpu.serving.engine import (BatchingEngine,
                                        frame_block_padded_len)
 from ditsep_tpu.serving.api import SeparationAPIServer
-from ditsep_tpu.serving.streaming import StreamingSeparator
+from ditsep_tpu.serving.streaming import (StreamingSeparator,
+                                          engine_separate_fn)
 
 __all__ = ["BatchingEngine", "SeparationAPIServer",
-           "StreamingSeparator", "frame_block_padded_len"]
+           "StreamingSeparator", "engine_separate_fn",
+           "frame_block_padded_len"]

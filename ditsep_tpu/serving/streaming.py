@@ -38,7 +38,33 @@ import numpy as np
 
 from ditsep_tpu.inference.longform import align_permutation
 
-__all__ = ["StreamingSeparator"]
+__all__ = ["StreamingSeparator", "engine_separate_fn"]
+
+
+def engine_separate_fn(engine) -> Callable:
+    """Adapter driving a :class:`StreamingSeparator` through a shared
+    :class:`~ditsep_tpu.serving.BatchingEngine`, so N concurrent live
+    streams ride batched jitted sampler calls (streams with the same
+    window size share the engine's static shapes).
+
+    Only the window's VALID samples are submitted — the engine does its
+    own frame-block bucket padding (and lengths masking when built with
+    ``pass_lengths``), so the streamer's zero-padded flush tail is never
+    double-padded. The engine owns the PRNG stream (per-batch keys);
+    the streamer's per-window key is unused.
+    """
+    def fn(key, mix, *lengths):
+        flat = np.asarray(mix, np.float32).reshape(-1)
+        valid = (int(np.asarray(lengths[0]).reshape(-1)[0]) if lengths
+                 else flat.shape[-1])
+        est = np.asarray(engine.separate(flat[:valid]), np.float32)
+        if valid < flat.shape[-1]:
+            est = np.concatenate(
+                [est, np.zeros((est.shape[0], flat.shape[-1] - valid),
+                               np.float32)], axis=-1)
+        return est[None]
+
+    return fn
 
 
 class StreamingSeparator:

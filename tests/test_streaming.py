@@ -159,3 +159,74 @@ def test_streaming_push_after_flush_raises():
     sep.flush()
     with pytest.raises(RuntimeError):
         sep.push(MIX[:10])
+
+
+def test_concurrent_streams_share_batching_engine():
+    """Two live streams ride one BatchingEngine (engine_separate_fn):
+    windows from both streams enter the same bucket and may share
+    batched calls; each stream must still reconstruct its own sources
+    exactly."""
+    import threading
+
+    from ditsep_tpu.serving import BatchingEngine, engine_separate_fn
+
+    rng = np.random.default_rng(11)
+    T2 = 14000
+    SRC = {name: np.stack([rng.standard_normal(T2),
+                           rng.standard_normal(T2)]).astype(np.float32)
+           for name in ("a", "b")}
+    MIXES = {name: s.sum(axis=0) for name, s in SRC.items()}
+
+    def batched_oracle(key, mix):
+        """(B,1,Tb) bucket-padded windows -> true sources per row,
+        deterministically swapped by window offset."""
+        out = np.zeros((mix.shape[0], 2, mix.shape[-1]), np.float32)
+        for r in range(mix.shape[0]):
+            c = np.asarray(mix[r]).reshape(-1)
+            L = np.trim_zeros(c, "b").shape[0]
+            hit = None
+            for name, m in MIXES.items():
+                for s in range(T2 - L + 1):
+                    if m[s] == c[0] and np.array_equal(m[s:s + L], c[:L]):
+                        hit = (name, s)
+                        break
+                if hit:
+                    break
+            assert hit, "window not found in either stream"
+            name, s = hit
+            row = SRC[name][:, s:s + L]
+            if s % 3 == 1:
+                row = row[::-1]
+            out[r, :, :L] = row
+        return out
+
+    eng = BatchingEngine(batched_oracle, max_batch=4, max_wait_ms=30.0)
+    results = {}
+
+    def run_stream(name):
+        from ditsep_tpu.serving import StreamingSeparator
+        sep = StreamingSeparator(engine_separate_fn(eng),
+                                 chunk_samples=6000,
+                                 overlap_samples=1000, n_src=2)
+        pieces = []
+        for i in range(0, T2, 1000):
+            pieces.append(sep.push(MIXES[name][i:i + 1000]))
+        pieces.append(sep.flush())
+        results[name] = np.concatenate(pieces, axis=-1)
+
+    threads = [threading.Thread(target=run_stream, args=(n,))
+               for n in MIXES]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    eng.close()
+
+    for name in MIXES:
+        est = results[name]
+        assert est.shape == (2, T2)
+        err = min(np.abs(est - SRC[name]).max(),
+                  np.abs(est[::-1] - SRC[name]).max())
+        assert err < 1e-5, name
+    # 3 windows per stream (0, 5000, tail at 10000)
+    assert eng.stats()["requests"] == 6
