@@ -111,6 +111,10 @@ def main(argv=None):
                         "latent_diffsep_ouve and --vae-params")
     p.add_argument("--vae-params", default=None,
                    help="npz with OobleckVAE params (latent mode)")
+    p.add_argument("--stream-chunk-seconds", type=float, default=8.0,
+                   help="default window for /v1/stream sessions")
+    p.add_argument("--stream-overlap-seconds", type=float, default=1.0,
+                   help="default overlap for /v1/stream sessions")
     p.add_argument("--warmup-seconds", type=float, nargs="*", default=(),
                    help="pre-compile programs for these utterance "
                         "lengths before accepting traffic")
@@ -138,8 +142,12 @@ def main(argv=None):
         engine.warmup([int(s * fs) for s in args.warmup_seconds])
 
     from ditsep_tpu.serving import SeparationAPIServer
-    SeparationAPIServer(engine, host=args.host,
-                        port=args.port).serve_forever()
+    SeparationAPIServer(
+        engine, host=args.host, port=args.port,
+        n_src=cfg["model"].get("n_speakers", 2),
+        stream_chunk_seconds=args.stream_chunk_seconds,
+        stream_overlap_seconds=args.stream_overlap_seconds,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

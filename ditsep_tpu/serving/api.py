@@ -14,6 +14,16 @@ Endpoints
 - ``POST /v1/separate``        body = WAV bytes; response JSON
   ``{"fs", "n_src", "latency_ms", "stems": [base64 WAV, ...]}``.
   ``?stem=i`` instead returns stem *i* as raw ``audio/wav``.
+- ``POST /v1/stream/open``     -> ``{"id", "fs", "n_src",
+  "chunk_seconds", "overlap_seconds", "latency_seconds"}``; query may
+  override ``chunk_seconds`` / ``overlap_seconds``. Opens a
+  bounded-latency streaming session (serving/streaming.py) backed by
+  the shared engine, so concurrent sessions ride batched sampler calls.
+- ``POST /v1/stream/<id>/push``  body = raw little-endian float32 mono
+  samples at the engine rate; response ``{"samples": k, "stems":
+  [base64 raw f32, ...]}`` with the newly FINAL separated samples.
+- ``POST /v1/stream/<id>/close`` -> same shape, the flushed remainder;
+  the session is deleted.
 
 Sample rates must match the engine's (resampling is a client concern —
 the reference models are rate-locked too, e.g. 8 kHz Libri2Mix).
@@ -24,6 +34,7 @@ import base64
 import json
 import threading
 import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -31,14 +42,36 @@ import numpy as np
 
 from ditsep_tpu.interface.web import decode_wav, encode_wav
 from ditsep_tpu.serving.engine import BatchingEngine
+from ditsep_tpu.serving.streaming import (StreamingSeparator,
+                                          engine_separate_fn)
+
+
+class _StreamSession:
+    __slots__ = ("sep", "lock", "last_touch")
+
+    def __init__(self, sep: StreamingSeparator):
+        self.sep = sep
+        self.lock = threading.Lock()
+        self.last_touch = time.monotonic()
 
 
 class SeparationAPIServer:
     def __init__(self, engine: BatchingEngine, host: str = "127.0.0.1",
                  port: int = 8000, request_timeout: float = 600.0,
-                 quiet: bool = True):
+                 quiet: bool = True, n_src: int = 2,
+                 stream_chunk_seconds: float = 8.0,
+                 stream_overlap_seconds: float = 1.0,
+                 max_stream_sessions: int = 32,
+                 stream_idle_timeout: float = 600.0):
         self.engine = engine
         self.request_timeout = request_timeout
+        self.n_src = int(n_src)
+        self.stream_chunk_seconds = float(stream_chunk_seconds)
+        self.stream_overlap_seconds = float(stream_overlap_seconds)
+        self.max_stream_sessions = int(max_stream_sessions)
+        self.stream_idle_timeout = float(stream_idle_timeout)
+        self._sessions: dict = {}
+        self._sessions_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -67,7 +100,10 @@ class SeparationAPIServer:
                 if path == "/healthz":
                     self._json({"ok": True})
                 elif path == "/v1/stats":
-                    self._json(outer.engine.stats())
+                    st = dict(outer.engine.stats())
+                    with outer._sessions_lock:
+                        st["open_streams"] = len(outer._sessions)
+                    self._json(st)
                 elif path == "/metrics":  # Prometheus exposition format
                     self._send(200, outer._prometheus().encode(),
                                "text/plain; version=0.0.4")
@@ -81,6 +117,12 @@ class SeparationAPIServer:
                 # request line, desynchronizing the connection
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = self.rfile.read(n)
+                if url.path.startswith("/v1/stream/"):
+                    obj, code = outer._stream_request(
+                        url.path[len("/v1/stream/"):],
+                        parse_qs(url.query), payload)
+                    self._json(obj, code)
+                    return
                 if url.path != "/v1/separate":
                     self._fail("not found", 404)
                     return
@@ -133,6 +175,89 @@ class SeparationAPIServer:
         self._httpd.daemon_threads = True
         self._thread = None
 
+    # ----------------------------------------------------- streaming --
+    def _sweep_sessions(self) -> None:
+        """Drop sessions idle past the timeout (caller holds the lock)."""
+        now = time.monotonic()
+        for sid in [s for s, v in self._sessions.items()
+                    if now - v.last_touch > self.stream_idle_timeout]:
+            del self._sessions[sid]
+
+    def _stream_request(self, sub: str, qs, payload: bytes):
+        """Route ``/v1/stream/<sub>``; returns (json_obj, status)."""
+        if sub == "open":
+            return self._stream_open(qs)
+        sid, _, verb = sub.partition("/")
+        with self._sessions_lock:
+            sess = self._sessions.get(sid)
+        if sess is None:
+            return {"error": f"unknown stream {sid!r}"}, 404
+        if verb == "push":
+            return self._stream_push(sess, payload)
+        if verb == "close":
+            with self._sessions_lock:
+                self._sessions.pop(sid, None)
+            return self._stream_flush(sess)
+        return {"error": f"unknown stream verb {verb!r}"}, 404
+
+    def _stream_open(self, qs):
+        try:
+            chunk_s = float(qs.get("chunk_seconds",
+                                   [self.stream_chunk_seconds])[0])
+            overlap_s = float(qs.get("overlap_seconds",
+                                     [self.stream_overlap_seconds])[0])
+        except ValueError as e:
+            return {"error": f"bad stream parameter: {e}"}, 400
+        fs = self.engine.fs
+        chunk = int(chunk_s * fs)
+        overlap = int(overlap_s * fs)
+        if not 0 < chunk <= self.engine.max_len:
+            return {"error": f"chunk_seconds out of range (0, "
+                    f"{self.engine.max_len / fs}]"}, 400
+        if not 0 <= overlap < chunk:
+            return {"error": "need 0 <= overlap_seconds "
+                    "< chunk_seconds"}, 400
+        sep = StreamingSeparator(engine_separate_fn(self.engine),
+                                 chunk_samples=chunk,
+                                 overlap_samples=overlap,
+                                 n_src=self.n_src)
+        with self._sessions_lock:
+            self._sweep_sessions()
+            if len(self._sessions) >= self.max_stream_sessions:
+                return {"error": "too many open streams"}, 429
+            sid = uuid.uuid4().hex[:16]
+            self._sessions[sid] = _StreamSession(sep)
+        return {"id": sid, "fs": fs, "n_src": self.n_src,
+                "chunk_seconds": chunk / fs,
+                "overlap_seconds": overlap / fs,
+                "latency_seconds": sep.latency_samples / fs}, 200
+
+    @staticmethod
+    def _stems_json(est: np.ndarray):
+        return {"samples": int(est.shape[-1]),
+                "stems": [base64.b64encode(
+                    np.ascontiguousarray(est[i], np.float32)
+                    .tobytes()).decode()
+                    for i in range(est.shape[0])]}
+
+    def _stream_push(self, sess: _StreamSession, payload: bytes):
+        if len(payload) % 4:
+            return {"error": "payload must be little-endian float32 "
+                    "mono samples"}, 400
+        block = np.frombuffer(payload, dtype="<f4")
+        with sess.lock:
+            sess.last_touch = time.monotonic()
+            try:
+                est = sess.sep.push(block)
+            except RuntimeError as e:
+                return {"error": str(e)}, 409
+        return self._stems_json(est), 200
+
+    def _stream_flush(self, sess: _StreamSession):
+        with sess.lock:
+            est = sess.sep.flush()
+        return self._stems_json(est), 200
+
     def _prometheus(self) -> str:
         """Engine counters in Prometheus text exposition format, so a
         standard scraper can watch batch occupancy / queue depth / tail
@@ -146,6 +271,10 @@ class SeparationAPIServer:
             lines.append(f"ditsep_{c}_total {st[c]}")
         lines.append("# TYPE ditsep_pending_requests gauge")
         lines.append(f"ditsep_pending_requests {st['pending']}")
+        with self._sessions_lock:
+            n_streams = len(self._sessions)
+        lines.append("# TYPE ditsep_open_streams gauge")
+        lines.append(f"ditsep_open_streams {n_streams}")
         lines.append("# TYPE ditsep_mean_batch_occupancy gauge")
         lines.append(
             f"ditsep_mean_batch_occupancy {st['mean_batch_occupancy']}")

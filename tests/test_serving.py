@@ -512,3 +512,69 @@ def test_api_concurrent_requests_batch():
     finally:
         srv.close()
         eng.close()
+
+
+def test_api_server_streaming_session():
+    """HTTP streaming sessions: open -> push raw f32 blocks -> close.
+    The pointwise separator makes the expected output exact: stems are
+    (2x, -x) everywhere (crossfades blend identical values, alignment
+    always picks the identity permutation)."""
+    import base64
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    eng = BatchingEngine(_pointwise_fn(), max_wait_ms=5.0)
+    srv = SeparationAPIServer(eng, port=0, n_src=2,
+                              stream_chunk_seconds=0.75,
+                              stream_overlap_seconds=0.125).start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, data=b""):
+            with urlopen(Request(f"{url}{path}", data=data),
+                         timeout=30) as r:
+                return json.loads(r.read())
+
+        meta = post("/v1/stream/open")
+        assert meta["fs"] == 8000 and meta["n_src"] == 2
+        assert meta["chunk_seconds"] == 0.75
+        assert meta["latency_seconds"] == (6000 + 5000) / 8000
+        sid = meta["id"]
+
+        with urlopen(f"{url}/v1/stats", timeout=10) as r:
+            assert json.loads(r.read())["open_streams"] == 1
+
+        rng = np.random.default_rng(0)
+        mix = (rng.standard_normal(15000) * 0.2).astype(np.float32)
+        pieces = []
+        for s in range(0, 15000, 4000):
+            out = post(f"/v1/stream/{sid}/push",
+                       mix[s:s + 4000].tobytes())
+            pieces.append(np.stack([
+                np.frombuffer(base64.b64decode(b), dtype="<f4")
+                for b in out["stems"]]))
+            assert out["samples"] == pieces[-1].shape[-1]
+        out = post(f"/v1/stream/{sid}/close")
+        pieces.append(np.stack([
+            np.frombuffer(base64.b64decode(b), dtype="<f4")
+            for b in out["stems"]]))
+        est = np.concatenate(pieces, axis=-1)
+        assert est.shape == (2, 15000)
+        np.testing.assert_allclose(est[0], 2.0 * mix, atol=1e-5)
+        np.testing.assert_allclose(est[1], -mix, atol=1e-5)
+
+        # session deleted on close; unknown ids 404; bad payloads 400
+        with pytest.raises(HTTPError) as e:
+            post(f"/v1/stream/{sid}/push", b"\x00" * 8)
+        assert e.value.code == 404
+        meta2 = post("/v1/stream/open?chunk_seconds=0.5")
+        with pytest.raises(HTTPError) as e:
+            post(f"/v1/stream/{meta2['id']}/push", b"\x00" * 3)
+        assert e.value.code == 400
+        with pytest.raises(HTTPError) as e:
+            post("/v1/stream/open?chunk_seconds=1e9")
+        assert e.value.code == 400
+    finally:
+        srv.close()
+        eng.close()
