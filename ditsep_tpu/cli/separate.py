@@ -57,6 +57,9 @@ def main(argv=None):
                         "real-time path, serving/streaming.py) instead "
                         "of the offline stitcher")
     args = p.parse_args(argv)
+    if args.streaming_block_seconds and not args.chunk_seconds:
+        p.error("--streaming-block-seconds requires --chunk-seconds "
+                "(the streaming path is windowed)")
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
         force_cpu()

@@ -36,7 +36,8 @@ def main(argv=None):
         max_epochs=args.max_epochs or cfg["trainer"].get("max_epochs", 1000),
         batch_size=batch_size, mesh=mesh, seed=args.seed,
         valid_max_sep_batches=cfg["model"].get("valid_max_sep_batches", 2),
-        max_steps=args.max_steps)
+        max_steps=args.max_steps,
+        media_fs=cfg["datamodule"].get("fs", 8000))
 
 
 if __name__ == "__main__":

@@ -94,7 +94,8 @@ def main(argv=None):
         max_epochs=args.max_epochs or 1000, batch_size=batch_size,
         mesh=mesh, seed=args.seed,
         valid_max_sep_batches=cfg["model"].get("valid_max_sep_batches", 2),
-        max_steps=args.max_steps, init_params=params)
+        max_steps=args.max_steps, init_params=params,
+        media_fs=cfg["datamodule"].get("fs", 8000))
 
 
 if __name__ == "__main__":

@@ -67,7 +67,10 @@ class NoisyDataset:
                 f for f in os.listdir(self.noisy_dir) if f.endswith(".wav"))
         if self.split in ("train", "val") and files:
             perm = np.random.default_rng(self.rng_seed).permutation(len(files))
-            n_val = int(len(files) * self.val_fraction)
+            # at least one val file whenever any exist (int() would
+            # truncate to an empty split below 1/val_fraction files,
+            # leaving val metrics NaN)
+            n_val = max(1, int(len(files) * self.val_fraction))
             keep = perm[:n_val] if self.split == "val" else perm[n_val:]
             files = [files[i] for i in sorted(keep)]
         self.files = files

@@ -32,14 +32,10 @@ def _wn_conv(sd, pt: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _wn_conv_t(sd, pt: str) -> Dict[str, np.ndarray]:
-    """weight-norm ConvTranspose1d: torch v (in, out, k), g (in, 1, 1) ->
-    flax v (k, out, in), g (in,)."""
-    out = {"v": _np(sd, f"{pt}.weight_v").transpose(2, 1, 0),
-           "g": _np(sd, f"{pt}.weight_g").reshape(-1)}
-    if f"{pt}.bias" in sd:
-        out["bias"] = _np(sd, f"{pt}.bias")
-    return out
+# weight-norm ConvTranspose1d: torch v (in, out, k), g (in, 1, 1) ->
+# flax v (k, out, in), g (in,) -- the same axis moves as _wn_conv
+# applied to the transposed-orientation layout
+_wn_conv_t = _wn_conv
 
 
 def _wn_dense(sd, pt: str) -> Dict[str, np.ndarray]:

@@ -201,26 +201,40 @@ class SeparationAPIServer:
         return {"error": f"unknown stream verb {verb!r}"}, 404
 
     def _stream_open(self, qs):
+        import math
+
+        fs = self.engine.fs
         try:
             chunk_s = float(qs.get("chunk_seconds",
                                    [self.stream_chunk_seconds])[0])
             overlap_s = float(qs.get("overlap_seconds",
                                      [self.stream_overlap_seconds])[0])
-        except ValueError as e:
+            if not (math.isfinite(chunk_s) and math.isfinite(overlap_s)):
+                raise ValueError("parameters must be finite")
+            chunk = int(chunk_s * fs)
+            overlap = int(overlap_s * fs)
+        except (ValueError, OverflowError) as e:
             return {"error": f"bad stream parameter: {e}"}, 400
-        fs = self.engine.fs
-        chunk = int(chunk_s * fs)
-        overlap = int(overlap_s * fs)
         if not 0 < chunk <= self.engine.max_len:
             return {"error": f"chunk_seconds out of range (0, "
                     f"{self.engine.max_len / fs}]"}, 400
         if not 0 <= overlap < chunk:
             return {"error": "need 0 <= overlap_seconds "
                     "< chunk_seconds"}, 400
+        if overlap == 0 and self.n_src > 1:
+            # no overlap -> no alignment signal: each window's source
+            # order is arbitrary and stems would swap mid-stream
+            return {"error": "overlap_seconds must be > 0 for "
+                    "multi-source streams (permutation alignment "
+                    "needs an overlap)"}, 400
+        # pass_lengths unconditionally: engine_separate_fn submits only
+        # the window's valid samples, so the flush tail's zero-pad never
+        # reaches the engine (which does its own bucket padding and, if
+        # configured, lengths masking)
         sep = StreamingSeparator(engine_separate_fn(self.engine),
                                  chunk_samples=chunk,
                                  overlap_samples=overlap,
-                                 n_src=self.n_src)
+                                 n_src=self.n_src, pass_lengths=True)
         with self._sessions_lock:
             self._sweep_sessions()
             if len(self._sessions) >= self.max_stream_sessions:

@@ -409,3 +409,14 @@ def test_noisy_dataset_train_val_split_disjoint(tmp_path):
     # deterministic across constructions
     va2 = NoisyDataset(path=str(root), split="val", len_s=None)
     assert va.files == va2.files
+
+
+def test_noisy_dataset_small_corpus_still_has_val(tmp_path):
+    """Below 1/val_fraction files int() would truncate the holdout to
+    zero; at least one val file must exist whenever any do."""
+    from ditsep_tpu.data import NoisyDataset
+    root = _make_valentini(tmp_path, n_train=5)
+    va = NoisyDataset(path=str(root), split="val", len_s=None)
+    tr = NoisyDataset(path=str(root), split="train", len_s=None)
+    assert len(va) == 1 and len(tr) == 4
+    assert not set(tr.files) & set(va.files)

@@ -575,6 +575,15 @@ def test_api_server_streaming_session():
         with pytest.raises(HTTPError) as e:
             post("/v1/stream/open?chunk_seconds=1e9")
         assert e.value.code == 400
+        # nan/inf parameters must 400, not crash the handler
+        for bad in ("chunk_seconds=nan", "chunk_seconds=inf"):
+            with pytest.raises(HTTPError) as e:
+                post(f"/v1/stream/open?{bad}")
+            assert e.value.code == 400
+        # zero overlap leaves no permutation-alignment signal
+        with pytest.raises(HTTPError) as e:
+            post("/v1/stream/open?overlap_seconds=0")
+        assert e.value.code == 400
     finally:
         srv.close()
         eng.close()
