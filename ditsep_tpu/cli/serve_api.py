@@ -142,12 +142,41 @@ def main(argv=None):
         engine.warmup([int(s * fs) for s in args.warmup_seconds])
 
     from ditsep_tpu.serving import SeparationAPIServer
-    SeparationAPIServer(
+    server = SeparationAPIServer(
         engine, host=args.host, port=args.port,
         n_src=cfg["model"].get("n_speakers", 2),
         stream_chunk_seconds=args.stream_chunk_seconds,
         stream_overlap_seconds=args.stream_overlap_seconds,
-    ).serve_forever()
+    )
+    install_graceful_shutdown(server, engine)
+    server.serve_forever()
+
+
+def install_graceful_shutdown(server, engine):
+    """SIGTERM/SIGINT drain: stop accepting connections, let the
+    engine finish its pending batches, then exit — so an orchestrator's
+    stop (or Ctrl-C) never drops in-flight separations. The actual
+    close runs on a helper thread because ``HTTPServer.shutdown`` must
+    not be called from the thread running ``serve_forever`` (the
+    signal handler executes on it)."""
+    import signal
+    import threading
+
+    def drain():
+        print("[serve_api] draining: closing listener, finishing "
+              "pending batches...")
+        server.close()
+        # _take_batch dispatches whatever is pending once closed; allow
+        # several full sampler calls before giving up the join
+        engine.close(timeout=120.0)
+        print("[serve_api] drained, exiting")
+
+    def handler(signum, frame):
+        threading.Thread(target=drain, daemon=False,
+                         name="ditsep-drain").start()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, handler)
 
 
 if __name__ == "__main__":

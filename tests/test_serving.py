@@ -587,3 +587,51 @@ def test_api_server_streaming_session():
     finally:
         srv.close()
         eng.close()
+
+
+def test_install_graceful_shutdown_drains():
+    """The serve_api SIGTERM handler stops the listener and finishes
+    pending engine work (engine dispatch-on-close) without dropping
+    in-flight futures."""
+    import signal
+    import time as _time
+    from urllib.error import URLError
+    from urllib.request import urlopen
+
+    from ditsep_tpu.cli.serve_api import install_graceful_shutdown
+
+    calls = []
+
+    def slow_fn(key, mix):
+        calls.append(int(mix.shape[0]))
+        _time.sleep(0.2)
+        x = np.asarray(mix)[:, 0]
+        return np.stack([2.0 * x, -x], axis=1)
+
+    eng = BatchingEngine(slow_fn, max_wait_ms=500.0, max_batch=4)
+    srv = SeparationAPIServer(eng, port=0).start()
+    old = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        install_graceful_shutdown(srv, eng)
+        port = srv.port
+        # enqueue work that is still pending when the signal arrives
+        fut = eng.submit(np.ones(4000, np.float32) * 0.1)
+        signal.getsignal(signal.SIGTERM)(signal.SIGTERM, None)
+        # pending request completes (dispatch-on-close), not dropped
+        est = fut.result(timeout=30)
+        assert est.shape[0] == 2 and calls
+        # listener is down
+        deadline = _time.time() + 10
+        down = False
+        while _time.time() < deadline and not down:
+            try:
+                urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1)
+                _time.sleep(0.1)
+            except (URLError, ConnectionError, OSError):
+                down = True
+        assert down
+    finally:
+        for s, h in old.items():
+            signal.signal(s, h)
+        srv.close()
+        eng.close()
