@@ -79,6 +79,14 @@ class NoisyDataset:
     def __len__(self):
         return len(self.files)
 
+    def item_length(self, idx: int) -> int:
+        """Sample count from the WAV header only (eval length probes)."""
+        from ditsep_tpu.data.wsj0_mix import wav_num_samples
+
+        if self.len_s is not None:
+            return int(self.len_s * self.fs)  # tiled/cropped exactly
+        return wav_num_samples(str(self.noisy_dir / self.files[idx]))
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         f = self.files[idx]
         noisy, _ = read_wav(str(self.noisy_dir / f))

@@ -50,6 +50,20 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return data, fs
 
 
+def wav_num_samples(path: str) -> int:
+    """Per-channel sample count from the WAV header alone (no audio
+    decode) — lets length probes over a test set (eval bucketing) avoid
+    reading every file twice. Falls back to a full decode for non-PCM
+    containers the stdlib reader rejects."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes()
+    except (wave.Error, EOFError):
+        return int(np.atleast_2d(read_wav(path)[0]).shape[-1])
+
+
 def write_wav(path: str, data: np.ndarray, fs: int) -> None:
     from scipy.io import wavfile
 
@@ -98,6 +112,16 @@ class WSJ0Mix:
     def __len__(self) -> int:
         return len(self.files)
 
+    def item_length(self, idx: int) -> int:
+        """Sample count of item ``idx`` from the WAV header only (the
+        eval harness probes every length before batching; decoding
+        mix + n_spkr sources per item just for shapes would double the
+        dataset I/O)."""
+        t = wav_num_samples(str(self.mix_dir / self.files[idx]))
+        if self.max_len_s is not None:
+            t = min(t, int(self.max_len_s * self.fs))
+        return t
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         fname = self.files[idx]
         mix, _ = read_wav(str(self.mix_dir / fname))
@@ -133,6 +157,12 @@ class SyntheticMixDataset:
 
     def __len__(self):
         return self.n_items
+
+    def item_length(self, idx: int) -> int:
+        """Length without generating the audio (the length is the first
+        draw of the item's deterministic rng stream)."""
+        rng = np.random.default_rng(self.seed + idx)
+        return int(rng.uniform(self.min_len_s, self.max_len_s) * self.fs)
 
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed + idx)
@@ -233,8 +263,11 @@ class BucketedLoader:
     align: str = "center"
 
     def __post_init__(self):
-        self._lengths = [self.dataset[i][0].shape[-1]
-                         for i in range(len(self.dataset))]
+        get_len = getattr(self.dataset, "item_length", None)
+        self._lengths = ([get_len(i) for i in range(len(self.dataset))]
+                         if get_len else
+                         [self.dataset[i][0].shape[-1]
+                          for i in range(len(self.dataset))])
         if self.frame_spec is not None:
             from ditsep_tpu.ops.stft import n_frames_prepadded
             n_fft, hop, block = self.frame_spec

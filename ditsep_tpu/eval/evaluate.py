@@ -89,7 +89,13 @@ def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
     (length, batch) shape costs one XLA compile; a long-tailed test set
     must not trigger dozens of multi-minute compiles). When the rounded
     lengths exceed the cap, boundaries fall on per-utterance-count
-    quantiles so padding overhead stays small where the data is dense."""
+    quantiles so padding overhead stays small where the data is dense.
+
+    Deliberately NOT data.wsj0_mix.length_buckets: that one always
+    quantizes to n_buckets quantile boundaries (a training loader wants
+    few shapes); eval keeps every exact rounded shape while under the
+    cap, because padding past an utterance's own frame block costs
+    measurable quality (docs/pad_dilution_r03.md)."""
     rounded = sorted({-(-L // bucket_multiple) * bucket_multiple
                       for L in lengths})
     if len(rounded) > max_buckets:
@@ -176,7 +182,12 @@ def evaluate_dataset(
     # cliff it prevents, and it overrides bucket_multiple. cli/evaluate
     # passes the configured model's spec; do the same for waveform
     # models, and keep None (sample-domain buckets) for latent paths.
-    lengths = [dataset[i][0].shape[-1] for i in range(n_items)]
+    # header-only length probe when the dataset supports it (a full
+    # __getitem__ decodes mix + n_spkr sources; probing 3000 utterances
+    # that way reads the whole test set twice)
+    get_len = getattr(dataset, "item_length", None)
+    lengths = ([get_len(i) for i in range(n_items)] if get_len
+               else [dataset[i][0].shape[-1] for i in range(n_items)])
     if frame_spec is not None:
         assigned = _bucket_lengths_frames(lengths, frame_spec, max_buckets)
     else:

@@ -89,10 +89,21 @@ def separate_longform(
     """
     import jax
 
-    mix = np.asarray(mix, np.float32).reshape(-1)
+    mix = np.asarray(mix, np.float32)
+    if mix.ndim == 2 and mix.shape[0] == 1:
+        mix = mix[0]
+    if mix.ndim != 1:
+        raise ValueError(
+            f"expected mono (T,) or (1, T) mixture, got {mix.shape} — "
+            "downmix multichannel audio before separation")
     T = mix.shape[-1]
     if not 0 <= overlap_samples < chunk_samples:
         raise ValueError("need 0 <= overlap_samples < chunk_samples")
+    if overlap_samples == 0 and n_src > 1:
+        raise ValueError(
+            "overlap_samples must be > 0 for multi-source separation: "
+            "the zero-length overlap carries no permutation-alignment "
+            "signal, so stems would swap sources at chunk boundaries")
     if key is None:
         key = jax.random.PRNGKey(seed)
 

@@ -256,6 +256,15 @@ class SepFormer(nn.Module):
 
     @nn.compact
     def __call__(self, mix: Array) -> Array:
+        if self.kernel_size % self.stride:
+            # the decoder lowers ConvTranspose1d as matmul + overlap_add
+            # (ops/stft.py), which reshapes each kernel into
+            # kernel_size//stride hop-`stride` frames; torch supports
+            # non-dividing strides, this lowering does not
+            raise ValueError(
+                f"SepFormer requires stride ({self.stride}) to divide "
+                f"kernel_size ({self.kernel_size}); the SpeechBrain "
+                "config (16, 8) satisfies this")
         if mix.ndim == 3:
             mix = mix[:, 0]
         b, T = mix.shape

@@ -224,13 +224,20 @@ class BatchingEngine:
                 if self._pending:
                     # a FULL bucket anywhere dispatches first (oldest-full
                     # wins) so one early straggler in another bucket can't
-                    # head-of-line-block a ready batch; otherwise serve
-                    # the bucket holding the oldest request
+                    # head-of-line-block a ready batch — UNLESS the oldest
+                    # request has already waited out max_wait, which would
+                    # otherwise starve a cold bucket forever under
+                    # sustained load on a hot shape (latency bound:
+                    # max_wait + one sampler call)
                     oldest = lambda b: self._pending[b][0].t_submit
+                    oldest_bucket = min(self._pending, key=oldest)
+                    oldest_age = (time.perf_counter()
+                                  - oldest(oldest_bucket))
                     full = [b for b, r in self._pending.items()
                             if len(r) >= self.max_batch]
-                    bucket = (min(full, key=oldest) if full
-                              else min(self._pending, key=oldest))
+                    bucket = (min(full, key=oldest)
+                              if full and oldest_age < self.max_wait
+                              else oldest_bucket)
                     reqs = self._pending[bucket]
                     age = time.perf_counter() - reqs[0].t_submit
                     if (len(reqs) >= self.max_batch or age >= self.max_wait

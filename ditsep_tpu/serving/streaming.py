@@ -99,6 +99,10 @@ class StreamingSeparator:
                  key=None, pass_lengths: bool = False):
         if not 0 <= overlap_samples < chunk_samples:
             raise ValueError("need 0 <= overlap_samples < chunk_samples")
+        if overlap_samples == 0 and n_src > 1:
+            raise ValueError(
+                "overlap_samples must be > 0 for multi-source streams "
+                "(permutation alignment needs an overlap)")
         import jax
 
         self._fn = separate_fn
@@ -196,7 +200,12 @@ class StreamingSeparator:
         newly FINAL separated samples (n_src, k), possibly empty."""
         if self._flushed:
             raise RuntimeError("push after flush")
-        block = np.asarray(block, np.float32).reshape(-1)
+        block = np.asarray(block, np.float32)
+        if block.ndim == 2 and block.shape[0] == 1:
+            block = block[0]
+        if block.ndim != 1:
+            raise ValueError(f"expected mono (T,) or (1, T) block, "
+                             f"got {block.shape}")
         if block.size:
             self._pending.append(block)
             self._pending_n += block.shape[-1]

@@ -420,3 +420,26 @@ def test_noisy_dataset_small_corpus_still_has_val(tmp_path):
     tr = NoisyDataset(path=str(root), split="train", len_s=None)
     assert len(va) == 1 and len(tr) == 4
     assert not set(tr.files) & set(va.files)
+
+
+def test_item_length_header_probe(tmp_path):
+    """item_length must match the decoded length without decoding
+    (wav header probe for file datasets, rng-replay for synthetic)."""
+    from ditsep_tpu.data import NoisyDataset, SyntheticMixDataset
+    from ditsep_tpu.data.wsj0_mix import wav_num_samples, write_wav
+
+    x = np.random.default_rng(0).normal(size=12345).astype(np.float32)
+    p = str(tmp_path / "probe.wav")
+    write_wav(p, x, 8000)
+    assert wav_num_samples(p) == 12345
+
+    ds = SyntheticMixDataset(n_items=4)
+    for i in range(4):
+        assert ds.item_length(i) == ds[i][0].shape[-1]
+
+    root = _make_valentini(tmp_path / "valentini", n_train=4)
+    nd = NoisyDataset(path=str(root), split="test", len_s=None)
+    for i in range(len(nd)):
+        assert nd.item_length(i) == nd[i][0].shape[-1]
+    ndc = NoisyDataset(path=str(root), split="train", len_s=0.5)
+    assert ndc.item_length(0) == ndc[0][0].shape[-1] == 8000

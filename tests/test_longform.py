@@ -80,17 +80,6 @@ def test_longform_single_window_pads_and_trims():
     assert err < 1e-5
 
 
-def test_longform_zero_overlap_concatenates():
-    est = separate_longform(_oracle, MIX, chunk_samples=5000,
-                            overlap_samples=0, n_src=2, seed=4)
-    assert est.shape == (2, T)
-    # with zero overlap there is nothing to align on: chunks land
-    # verbatim, so every sample matches ONE of the two true sources
-    err = np.minimum(np.abs(est - S).max(axis=0),
-                     np.abs(est - S[::-1]).max(axis=0))
-    assert err.max() < 1e-6
-
-
 def test_longform_pass_lengths_masks_host_pad():
     """Single-window mode zero-pads on the host; with pass_lengths the
     separator receives the TRUE sample count so mask_padding models can
@@ -145,3 +134,13 @@ def test_longform_with_real_sampler_smoke():
                             overlap_samples=800, n_src=2, seed=6)
     assert est.shape == (2, 10000)
     assert np.isfinite(est).all()
+
+
+def test_longform_rejects_zero_overlap_and_multichannel():
+    with pytest.raises(ValueError, match="alignment"):
+        separate_longform(_oracle, MIX, chunk_samples=6000,
+                          overlap_samples=0, n_src=2)
+    with pytest.raises(ValueError, match="mono"):
+        separate_longform(_oracle, np.stack([MIX, MIX]),
+                          chunk_samples=6000, overlap_samples=1000,
+                          n_src=2)

@@ -334,3 +334,20 @@ def test_sepformer_jit_and_grad():
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_sepformer_rejects_non_dividing_stride():
+    """The matmul+overlap_add decoder lowering requires stride |
+    kernel_size; fail with a clear message instead of an opaque
+    reshape error (torch's ConvTranspose1d supports such configs)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ditsep_tpu.models.sepformer import SepFormer
+
+    m = SepFormer(kernel_size=16, stride=6, enc_channels=8,
+                  n_heads=2, d_ffn=16, chunk_size=10,
+                  num_dp_layers=1, num_tf_layers=1)
+    with _pytest.raises(ValueError, match="divide"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 320)))

@@ -635,3 +635,35 @@ def test_install_graceful_shutdown_drains():
             signal.signal(s, h)
         srv.close()
         eng.close()
+
+
+def test_engine_cold_bucket_not_starved_by_hot_bucket():
+    """Sustained full batches on a hot shape must not starve a lone
+    request in a cold bucket past max_wait (latency bound: max_wait +
+    one sampler call)."""
+    import threading as _threading
+
+    def slow_fn(key, mix):
+        time.sleep(0.05)
+        x = np.asarray(mix)[:, 0]
+        return np.stack([x, x], axis=1)
+
+    eng = BatchingEngine(slow_fn, max_batch=2, max_wait_ms=150.0)
+    stop = _threading.Event()
+
+    def hot_load():
+        while not stop.is_set():
+            eng.submit(np.ones(4000, np.float32))
+            eng.submit(np.ones(4000, np.float32))
+            time.sleep(0.02)
+
+    t = _threading.Thread(target=hot_load, daemon=True)
+    try:
+        t.start()
+        time.sleep(0.1)  # hot bucket saturated
+        cold = eng.submit(np.ones(40000, np.float32))
+        cold.result(timeout=5)  # pre-fix: starves until load stops
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        eng.close()

@@ -230,3 +230,13 @@ def test_concurrent_streams_share_batching_engine():
         assert err < 1e-5, name
     # 3 windows per stream (0, 5000, tail at 10000)
     assert eng.stats()["requests"] == 6
+
+
+def test_streaming_rejects_zero_overlap_and_multichannel():
+    with pytest.raises(ValueError, match="alignment"):
+        StreamingSeparator(_oracle, chunk_samples=6000,
+                           overlap_samples=0, n_src=2)
+    sep = StreamingSeparator(_oracle, chunk_samples=6000,
+                             overlap_samples=1000, n_src=2)
+    with pytest.raises(ValueError, match="mono"):
+        sep.push(np.stack([MIX[:100], MIX[:100]]))
