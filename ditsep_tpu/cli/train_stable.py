@@ -101,18 +101,24 @@ def main(argv=None):
                        if trainer.disc is not None else None)
         state, start = _maybe_resume(
             args, ckpts, trainer.init_state(vae_params, disc_params))
-        gen = jax.jit(lambda s, k, r: trainer.gen_step(
-            s, k, r, warmed_up=True))
+        # warmed_up is a per-step host boolean (step >= warmup_steps);
+        # static under jit -> at most two compiled gen variants. Before
+        # warmup the encoder trains and adversarial losses are off;
+        # after, encoder_freeze_on_warmup/adversarial apply (reference:
+        # autoencoders.py:420-470)
+        gen = jax.jit(trainer.gen_step, static_argnames=("warmed_up",))
         dsc = jax.jit(trainer.disc_step) if trainer.disc is not None \
             else None
+        m = {}
         for step in range(start, args.max_steps):
             k = jax.random.fold_in(k_step, step)
             if dsc is not None and trainer.use_disc_this_step(step):
                 state, m = dsc(state, k, batch)
             else:
-                state, m = gen(state, k, batch)
+                state, m = gen(state, k, batch,
+                               warmed_up=step >= trainer.warmup_steps)
             _log(logger, ckpts, state, step, m, args)
-            if demo_cb is not None and demo_cb.due(step):
+            if demo_cb is not None and step > 0 and demo_cb.due(step):
                 demo_cb(logger, step, model, state.vae_params, batch)
         metrics = {k2: float(v) for k2, v in m.items()}
     elif model_type == "diffusion_uncond":
@@ -123,10 +129,11 @@ def main(argv=None):
         state, start = _maybe_resume(args, ckpts,
                                      trainer.init_state(params))
         step_fn = jax.jit(trainer.train_step)
+        m = {}
         for step in range(start, args.max_steps):
             state, m = step_fn(state, jax.random.fold_in(k_step, step), x0)
             _log(logger, ckpts, state, step, m, args)
-            if demo_cb is not None and demo_cb.due(step):
+            if demo_cb is not None and step > 0 and demo_cb.due(step):
                 demo_cb(logger, step, net, state.ema_params,
                         jax.random.fold_in(k_step, 1_000_000 + step))
         metrics = {k2: float(v) for k2, v in m.items()}
@@ -139,10 +146,11 @@ def main(argv=None):
         state, start = _maybe_resume(
             args, ckpts, trainer.init_state(lm.init(k_init, tokens)))
         step_fn = jax.jit(trainer.train_step)
+        m = {}
         for step in range(start, args.max_steps):
             state, m = step_fn(state, tokens)
             _log(logger, ckpts, state, step, m, args)
-            if demo_cb is not None and demo_cb.due(step):
+            if demo_cb is not None and step > 0 and demo_cb.due(step):
                 demo_cb(logger, step, lm, state.ema_params,
                         jax.random.fold_in(k_step, step), length=t_tok)
         metrics = {k2: float(v) for k2, v in m.items()}

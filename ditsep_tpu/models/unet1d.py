@@ -535,12 +535,15 @@ class UNetCondAdapter(nn.Module):
                  cross_attn_cond: Optional[Array] = None,
                  cross_attn_cond_mask: Optional[Array] = None,
                  input_concat_cond: Optional[Array] = None,
-                 global_cond: Optional[Array] = None,
+                 global_embed: Optional[Array] = None,
                  prepend_cond: Optional[Array] = None,
                  prepend_cond_mask: Optional[Array] = None,
                  cfg_scale: float = 1.0, cfg_dropout_prob: float = 0.0,
-                 cfg_key: Optional[Array] = None,
+                 rngs_key: Optional[Array] = None,
                  rescale_cfg: bool = False) -> Array:
+        # kwarg names follow the DiffusionTrainer/DiT vocabulary
+        # (CondRouting.gather emits global_embed; the trainer passes
+        # rngs_key for CFG dropout) so both backbones are drop-in
         channels_list = ([input_concat_cond]
                          if input_concat_cond is not None else None)
         if isinstance(self.net, UNetCFG1d):
@@ -549,11 +552,11 @@ class UNetCondAdapter(nn.Module):
             return self.net(
                 x, t, embedding=cross_attn_cond,
                 embedding_mask=cross_attn_cond_mask,
-                features=global_cond, channels_list=channels_list,
+                features=global_embed, channels_list=channels_list,
                 embedding_scale=cfg_scale,
-                embedding_mask_proba=cfg_dropout_prob, cfg_key=cfg_key,
+                embedding_mask_proba=cfg_dropout_prob, cfg_key=rngs_key,
                 rescale_cfg=rescale_cfg)
-        return self.net(x, t, features=global_cond,
+        return self.net(x, t, features=global_embed,
                         channels_list=channels_list)
 
 

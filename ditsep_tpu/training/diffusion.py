@@ -170,6 +170,22 @@ class CondRouting:
         return out
 
 
+def apply_gradient_update(tx, state, loss: Array, grads,
+                          ema_decay: float):
+    """Shared tail of every diffusion/LM train step: optimizer update,
+    EMA tracking, step bump, standard metrics. One implementation so a
+    change (clipping, EMA init, extra metrics) cannot silently miss a
+    trainer."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                       state.ema_params, params)
+    return (state.replace(step=state.step + 1, params=params,
+                          opt_state=opt_state, ema_params=ema),
+            {"train/loss": loss,
+             "train/grad_norm": optax.global_norm(grads)})
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionTrainer:
     """v / rectified-flow diffusion trainer for a DiT-style model.
@@ -244,16 +260,8 @@ class DiffusionTrainer:
         loss, grads = jax.value_and_grad(
             lambda p: self.loss(p, key, x0, cond, padding_mask)
         )(state.params)
-        tx = self.make_optimizer()
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        d = self.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
-                           state.ema_params, params)
-        return (state.replace(step=state.step + 1, params=params,
-                              opt_state=opt_state, ema_params=ema),
-                {"train/loss": loss, "train/grad_norm":
-                 optax.global_norm(grads)})
+        return apply_gradient_update(self.make_optimizer(), state, loss,
+                                     grads, self.ema_decay)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,14 +301,5 @@ class DiffAETrainer:
     def train_step(self, state: DiffusionTrainState, key: Array,
                    x0: Array):
         loss, grads = jax.value_and_grad(self.loss)(state.params, key, x0)
-        tx = self.make_optimizer()
-        updates, opt_state = tx.update(grads, state.opt_state,
-                                       state.params)
-        params = optax.apply_updates(state.params, updates)
-        d = self.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
-                           state.ema_params, params)
-        return (state.replace(step=state.step + 1, params=params,
-                              opt_state=opt_state, ema_params=ema),
-                {"train/loss": loss,
-                 "train/grad_norm": optax.global_norm(grads)})
+        return apply_gradient_update(self.make_optimizer(), state, loss,
+                                     grads, self.ema_decay)

@@ -31,8 +31,7 @@ def _opt_overrides(training: Dict[str, Any], group: str) -> Dict[str, Any]:
     return out
 
 
-def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
-                               key=None):
+def create_trainer_from_config(model_config: Dict[str, Any], model: Any):
     """Dispatch on model_type like the reference factory
     (reference: training/factory.py:5-158). `model` is whatever
     models.factory.create_model_from_config returned for this config."""
@@ -61,8 +60,17 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
             sample_rate=model_config.get("sample_rate", 8000),
         )
         disc_cfg = lc.get("discriminator")
+        # route the model's audio channel count and rate into the
+        # discriminator (a stereo config must not get a mono MS-STFT
+        # disc, nor a 44.1k config mel/CQT banks laid out for 8 kHz)
+        audio_ch = (model_config.get("model", {}).get("encoder", {})
+                    .get("config", {}).get("in_channels")
+                    or model_config.get("audio_channels", 1))
         disc = (None if disc_cfg is None
-                else create_discriminator_from_config(disc_cfg))
+                else create_discriminator_from_config(
+                    disc_cfg, in_channels=int(audio_ch),
+                    sample_rate=int(model_config.get("sample_rate",
+                                                     8000))))
 
         def tx_for(group):
             oc = (training.get("optimizer_configs") or {}).get(group)
@@ -154,7 +162,7 @@ def create_trainer_from_config(model_config: Dict[str, Any], model: Any,
         from ditsep_tpu.training.lm import LMTrainer
 
         lm, pattern = model if isinstance(model, tuple) else (model, None)
-        kw = {"lr": training.get("learning_rate") or 1e-4}
+        kw = {"lr": training.get("learning_rate", 1e-4)}
         kw.update(_opt_overrides(training, "lm"))
         return LMTrainer(model=lm, pattern=pattern, **kw)
 

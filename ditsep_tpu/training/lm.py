@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ditsep_tpu.models.lm import AudioLM, lm_loss
-from ditsep_tpu.training.diffusion import DiffusionTrainState
+from ditsep_tpu.training.diffusion import (DiffusionTrainState,
+                                           apply_gradient_update)
 
 Array = jax.Array
 
@@ -57,13 +58,5 @@ class LMTrainer:
 
     def train_step(self, state: DiffusionTrainState, tokens: Array):
         loss, grads = jax.value_and_grad(self.loss)(state.params, tokens)
-        tx = self.make_optimizer()
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        d = self.ema_decay
-        ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
-                           state.ema_params, params)
-        return (state.replace(step=state.step + 1, params=params,
-                              opt_state=opt_state, ema_params=ema),
-                {"train/loss": loss,
-                 "train/grad_norm": optax.global_norm(grads)})
+        return apply_gradient_update(self.make_optimizer(), state, loss,
+                                     grads, self.ema_decay)

@@ -505,3 +505,48 @@ def test_latent_mask_and_teacher_distillation(tmp_path):
                        if k != "teacher_model_ckpt"}
     with pytest.raises(ValueError):
         create_trainer_from_config(bad, model)
+
+
+def test_cond_trainer_adp_cfg_unet_path():
+    """diffusion_cond with an adp_cfg_1d net: the trainer's conditioning
+    kwargs (cross_attn_cond / global_embed / cfg_dropout_prob /
+    rngs_key) must be accepted by UNetCondAdapter — this path crashed
+    when the adapter used its own kwarg names."""
+    cfg = {
+        "model_type": "diffusion_cond",
+        "sample_rate": 8000,
+        "model": {
+            "diffusion": {
+                "type": "adp_cfg_1d",
+                "cross_attention_cond_ids": ["prompt"],
+                "global_cond_ids": ["seconds_total"],
+                "config": {
+                    "in_channels": 2, "channels": 8,
+                    "multipliers": [1, 2], "factors": [2],
+                    "num_blocks": [1], "attentions": [0, 1],
+                    "attention_heads": 2, "attention_features": 8,
+                    "embedding_features": 8,
+                    "context_embedding_features": 8,
+                },
+            },
+        },
+        "training": {"learning_rate": 1e-4, "cfg_dropout_prob": 0.1,
+                     "timestep_sampler": "uniform"},
+    }
+    model = create_model_from_config(cfg)
+    net, routing, _ = model
+    tr = create_trainer_from_config(cfg, model)
+    assert tr.cfg_dropout_prob == 0.1
+    x0 = jax.random.normal(KEY, (2, 2, 32))
+    cond = {"prompt": (jax.random.normal(KEY, (2, 3, 8)),
+                       jnp.ones((2, 3))),
+            "seconds_total": (jax.random.normal(KEY, (2, 1, 8)),
+                              jnp.ones((2, 1)))}
+    kwargs = routing.gather(cond)
+    params = tr.model.init(KEY, x0, jnp.full((2,), 0.5), **kwargs,
+                           cfg_dropout_prob=0.1, rngs_key=KEY)
+    loss = jax.jit(tr.loss)(params, KEY, x0, cond)
+    assert np.isfinite(float(loss))
+    state = tr.init_state(params)
+    state2, m = jax.jit(tr.train_step)(state, KEY, x0, cond)
+    assert np.isfinite(float(m["train/loss"]))
