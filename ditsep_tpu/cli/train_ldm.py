@@ -50,7 +50,10 @@ def main(argv=None):
             filters=dc["filters"], n_ffts=tuple(dc["n_ffts"]),
             hop_lengths=tuple(dc["hop_lengths"]))
         tgt0, _ = ds[0]
-        disc_params = disc.init(key, jnp.asarray(tgt0[None, :1]))
+        # the LDM adversarial losses see (B, n_src, T) stacks (both the
+        # separated stems and the targets), so the discriminator must be
+        # built for n_src waveform channels
+        disc_params = disc.init(key, jnp.asarray(tgt0[None]))
 
     sp = tcfg["loss"]["spectral"]
     ldm = LDMTrainer(

@@ -68,7 +68,10 @@ class WNConv1d(nn.Module):
     kernel_size: int
     stride: int = 1
     dilation: int = 1
-    padding: Optional[int] = None  # None -> torch 'same'-style explicit pad
+    # int -> symmetric; (left, right) tuple -> asymmetric (torch
+    # padding='same' with an even kernel pads one more on the right);
+    # None -> symmetric (dilation*(k-1))//2
+    padding: Optional[Any] = None
     use_bias: bool = True
     groups: int = 1  # feature_group_count (torch Conv1d groups)
     dtype: Any = None
@@ -93,9 +96,10 @@ class WNConv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = (self.dilation * (k - 1)) // 2
+        pad = pad if isinstance(pad, tuple) else (pad, pad)
         y = jax.lax.conv_general_dilated(
             x, w.astype(dt), window_strides=(self.stride,),
-            padding=[(pad, pad)], rhs_dilation=(self.dilation,),
+            padding=[pad], rhs_dilation=(self.dilation,),
             feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
@@ -234,9 +238,12 @@ class DecoderBlock(nn.Module):
             x = _elu(x)
         s = self.stride
         if self.use_nearest_upsample:
+            # torch padding='same' with the even 2s kernel is asymmetric
+            # (s-1 left, s right); symmetric padding loses one frame per
+            # block and breaks the exact T*s output-length contract
             x = jnp.repeat(x, s, axis=1)
             x = WNConv1d(self.out_ch, 2 * s, stride=1, use_bias=False,
-                         padding=None, name="up", dtype=self.dtype)(x)
+                         padding=(s - 1, s), name="up", dtype=self.dtype)(x)
         else:
             x = WNConvTranspose1d(self.out_ch, 2 * s, stride=s,
                                   padding=math.ceil(s / 2), name="up",

@@ -40,7 +40,12 @@ def _mag_rescale(spec: Array, new_mag_over_mag) -> Array:
 
 def _spec_transform_forward(spec: Array, transform: str, exponent: float,
                             factor: float) -> Array:
-    """Magnitude-compression transform (reference: score_models.py:41-57)."""
+    """Magnitude-compression transform (reference: score_models.py:41-57).
+
+    Reference quirk reproduced: the 'exponent' branch multiplies by the
+    SIGNED factor forward but divides by abs(factor) backward (reference
+    :48 vs :61), so a negative spec_factor is not round-trip-invertible
+    there either. All shipped configs use positive factors."""
     if transform == "exponent":
         if exponent != 1.0:
             e = abs(exponent)

@@ -68,6 +68,13 @@ def frame_signal(x: Array, n_fft: int, hop_length: int) -> Array:
     folds into the downstream DFT matmul's operand layout."""
     t = x.shape[-1]
     h = hop_length
+    if t < n_fft:
+        # torch.stft errors loudly here; an empty frame tensor would
+        # fail far from the root cause (empty spectrograms downstream)
+        raise ValueError(
+            f"signal length {t} < n_fft {n_fft}: pad the input or use "
+            "center=True (whose n_fft//2 reflection pads guarantee at "
+            "least one frame)")
     n_frames = 1 + (t - n_fft) // h
     c = -(-n_fft // h)  # chunks per frame
     # rows r = x[r*h:(r+1)*h]; frame k = rows k..k+c-1

@@ -335,6 +335,11 @@ class PriorMixSDE(MixSDE):
         return self.prior_from_noise(z, shape, mix)
 
     def prior_from_noise(self, z: Array, shape: Tuple[int, ...], mix: Array):
+        """Reference quirk reproduced: when ``mix`` already carries ndim
+        channels the prior mean is the UNSCALED mix per source (reference
+        PriorMixSDE.prior_sampling, src/sdes/sdes.py:222-223 ``mean =
+        mix``), unlike the (B,1,T) layout's mix/ndim -- the two layouts
+        intentionally disagree exactly as the reference's do."""
         b = mix.shape[0]
         t = jnp.full((b,), self.T, dtype=mix.dtype)
         std = self.std(t, mix, len(shape))

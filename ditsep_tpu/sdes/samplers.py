@@ -26,8 +26,16 @@ ScoreFn = Callable[[Array, Array, Array], Array]
 
 
 def _time_grid(schedule: Optional[str], T: float, eps: float, n: int) -> Array:
-    """Reverse-time grids. `None`/'linear' = uniform; 'log'/'revlog' =
-    logarithmic (reference: src/sdes/__init__.py:95-114)."""
+    """Reverse-time grids, uniform ('linear') or logarithmic
+    ('log'/'revlog') (reference: src/sdes/__init__.py:95-114).
+
+    NOTE on 'linear' vs schedule=None in pc_sample: both are uniform but
+    they mirror DIFFERENT reference samplers. None follows the plain
+    get_pc_sampler (linspace(T, eps, N): last step evaluates AT eps);
+    'linear' follows get_pc_scheduled_sampler (N+1 grid points, steps at
+    the first N, so eps itself is never evaluated and the spacing is
+    (T-eps)/N). Same N therefore gives numerically different samples --
+    faithful to the reference pair, not a bug."""
     if schedule in (None, "linear"):
         return jnp.linspace(T, eps, n)
     if schedule == "log":
@@ -133,7 +141,11 @@ def pc_sample(
     (xt, xt_mean), traj = jax.lax.scan(step, (x0, x0), inputs)
 
     x_result = xt_mean if denoise else xt
-    nfe = n * (corrector_steps + 1)
+    # true score-evaluation count ('none' predictor/corrector cost
+    # nothing; the reference reports sde.N*(n_steps+1) unconditionally,
+    # src/sdes/__init__.py:187 -- we report honest cost for benchmarks)
+    nfe = n * (corrector_steps * (corrector != "none")
+               + (predictor != "none"))
     if intermediate:
         return x_result, nfe, traj
     return x_result, nfe
@@ -182,12 +194,12 @@ def ab2_sample(
         t_vec = jnp.full((batch,), t_scalar, dtype=y.dtype)
         f, g = sde.reverse_drift_diffusion(
             score_fn, x, t_vec, y, probability_flow=not stochastic)
-        return f, g, t_vec
+        return f, g
 
     def step(carry, inputs):
         x, f_prev, has_prev = carry
-        i, t, k = inputs
-        f, g, t_vec = drift(x, t)
+        t, k = inputs
+        f, g = drift(x, t)
         # AB2: x' = x - dt * (3/2 f - 1/2 f_prev); first step falls back
         # to Euler (has_prev = 0)
         f_ab = jnp.where(has_prev > 0, 1.5 * f - 0.5 * f_prev, f)
@@ -202,7 +214,7 @@ def ab2_sample(
 
     (x_final, _, _), means = jax.lax.scan(
         step, (x0, jnp.zeros_like(x0), jnp.zeros(())),
-        (jnp.arange(n_steps), timesteps, step_keys))
+        (timesteps, step_keys))
     x = means[-1] if not stochastic else x_final
     nfe = n_steps
     if denoise:
@@ -224,7 +236,7 @@ def ode_sample(
     N: Optional[int] = None,
     eps: float = 3e-2,
     denoise: bool = True,
-    n_spkrs: Optional[int] = None,
+    n_spkrs: Optional[int] = 2,
     method: str = "rk4",
 ):
     """Probability-flow ODE sampler with fixed-step integrators.
@@ -305,15 +317,22 @@ def ode_sample_scipy(
     method: str = "RK45",
     eps: float = 3e-2,
     denoise: bool = True,
+    n_spkrs: Optional[int] = 2,
 ):
     """Black-box adaptive ODE solve on host (scipy), for parity with the
     reference sampler (src/sdes/__init__.py:196-281). Not jittable; use
-    `ode_sample` for production."""
+    `ode_sample` for production. ``n_spkrs`` sets the separated-state
+    channel count like every other sampler (None = y already has state
+    shape)."""
     import numpy as np
     from scipy import integrate
 
+    if n_spkrs is None:
+        state_shape = y.shape
+    else:
+        state_shape = (y.shape[0], n_spkrs) + tuple(y.shape[2:])
     key, k_prior = jax.random.split(key)
-    x = sde.prior_sampling(k_prior, y.shape, y)
+    x = sde.prior_sampling(k_prior, state_shape, y)
     shape = x.shape
     dtype = x.dtype
 
@@ -356,6 +375,12 @@ def sb_sample(
     """
     n = sde.N
     batch = y.shape[0]
+    # the bridge weights involve ~1/sqrt(eps)-scale products whose
+    # cancellation needs float32: accumulate the whole scan in f32 and
+    # cast back at the end (the score_fn still sees the caller's dtype
+    # via closure -- only the integrator state is widened)
+    out_dtype = y.dtype
+    y = y.astype(jnp.float32)
     xt0 = jnp.concatenate([y] * n_spkrs, axis=1)  # y tiled over sources
 
     grid = jnp.linspace(sde.T, eps, n + 1)
@@ -404,11 +429,10 @@ def sb_sample(
             xt = (
                 bcast_right(w_prev, xt.ndim) * xt
                 + bcast_right(w_est, xt.ndim) * estimate
-                + bcast_right(w_prior, xt.ndim) * jnp.concatenate(
-                    [y] * n_spkrs, axis=1)
+                + bcast_right(w_prior, xt.ndim) * xt0
             )
         return (xt, alpha_t, sigma_t, sigma_bart), None
 
     inputs = (jnp.arange(n), grid[1:], step_keys)
     (xt, *_), _ = jax.lax.scan(step, (xt0, ap0, sp0, sbp0), inputs)
-    return xt, n
+    return xt.astype(out_dtype), n

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ditsep_tpu.models.discriminators import (
-    MultiScaleSTFTDiscriminator, discriminator_loss,
-    encodec_discriminator_loss,
+    discriminator_loss,
 )
 from ditsep_tpu.models.oobleck import OobleckVAE
 from ditsep_tpu.training import auraloss
@@ -150,8 +149,11 @@ class AutoencoderTrainer:
             # four terms tying the student's latent space and both
             # encode/decode directions to the frozen teacher
             tp = jax.tree.map(jax.lax.stop_gradient, self.teacher_params)
-            t_lat = self.teacher_vae.apply(tp, reals, key=None,
-                                           method=self.teacher_vae.encode)
+            # the reference teacher encode SAMPLES the posterior
+            # (autoencoders.py:404-409), it does not take the mean
+            t_lat = self.teacher_vae.apply(
+                tp, reals, key=jax.random.fold_in(key, 7),
+                method=self.teacher_vae.encode)
             t_dec = self.teacher_vae.apply(tp, t_lat,
                                            method=self.teacher_vae.decode)
             own_lat_t_dec = self.teacher_vae.apply(

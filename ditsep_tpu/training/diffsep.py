@@ -257,8 +257,11 @@ class DiffSepTrainer:
         lz = self.sde.mult_std(L, z)
 
         sel = jax.random.randint(k_sel, (b,), 0, len(perms))
+        # shape-generic over the state rank (waveform (B,n,T) and latent
+        # (B,n,D,Tl) both route through here)
         mean_sel = jnp.take_along_axis(
-            means, sel[:, None, None, None], axis=1)[:, 0]
+            means, sel.reshape((-1,) + (1,) * (means.ndim - 1)),
+            axis=1)[:, 0]
         x_t = mean_sel + lz
 
         # model-mismatch-to-noise ratio (reference: :206-216)

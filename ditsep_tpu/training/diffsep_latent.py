@@ -73,6 +73,10 @@ class LatentDiffSepTrainer(DiffSepTrainer):
         b, n, d, tl = est.shape
         flat = est.reshape(b * n, d, tl)
         dec = self.vae.apply(vae_params, flat, method=self.vae.decode)
+        assert dec.shape[1] == 1, (
+            "latent separation decodes mono waveforms; a multi-channel "
+            f"VAE (out_channels={dec.shape[1]}) would be silently "
+            "flattened into the time axis")
         dec = dec.reshape(b, n, -1)
         if target_dim is not None:
             dec = dec[..., :target_dim]

@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import flax.struct
+
 from ditsep_tpu.models.discriminators import (
-    MultiScaleSTFTDiscriminator, encodec_discriminator_loss, hinge_losses,
+    MultiScaleSTFTDiscriminator, encodec_discriminator_loss,
 )
 from ditsep_tpu.models.oobleck import OobleckVAE
 from ditsep_tpu.training import auraloss
@@ -47,9 +49,6 @@ class LDMLossWeights:
     hop_sizes: Tuple[int, ...] = (512, 256, 128, 64, 32, 16, 8)
     perceptual_weighting: bool = True
     sample_rate: int = 8000
-
-
-import flax.struct
 
 
 class LDMState(flax.struct.PyTreeNode):
@@ -129,13 +128,8 @@ class LDMTrainer:
         flowing through the decoder (reference: src/ldm.py:208-215
         decode_grad)."""
         vp = self.merge_vae_params(frozen_rest, decoder_params)
-        b, n, d, tl = latents.shape
-        flat = latents.reshape(b * n, d, tl)
-        dec = self.vae.apply(vp, flat, method=self.vae.decode)
-        dec = dec.reshape(b, n, -1)
-        if target_dim is not None:
-            dec = dec[..., :target_dim]
-        return dec
+        return self.latent_trainer.decode(vp, latents,
+                                          target_dim=target_dim)
 
     def gen_loss(self, decoder_params, disc_params, frozen_rest,
                  latents: Array, reals: Array, warmed_up: bool):

@@ -201,3 +201,48 @@ def test_inverse_lr_schedule():
     v0, v10, v1000 = float(s(0)), float(s(10)), float(s(1000))
     assert v0 < v10  # warmup rising
     assert v1000 < 1e-3  # decay below base
+
+
+def test_ldm_gan_steps_with_discriminator(latent_setup):
+    """The adversarial finetune path end to end: disc initialized on the
+    (B, n_src, T) stacks the losses actually see (this crashed when the
+    CLI built disc params for one channel), gen step with adversarial +
+    feature-matching terms, disc step, GAN alternation."""
+    from ditsep_tpu.training.ldm import LDMLossWeights
+
+    tr_lat, params, vae_params, mix, tgt = latent_setup
+    reals = tgt
+    disc = MultiScaleSTFTDiscriminator(filters=4, n_ffts=(64,),
+                                       hop_lengths=(16,))
+    disc_params = disc.init(jax.random.PRNGKey(3), reals)
+    ldm = LDMTrainer(
+        latent_trainer=tr_lat, disc=disc, lr=1e-3,
+        weights=LDMLossWeights(fft_sizes=(256, 128), hop_sizes=(64, 32),
+                               perceptual_weighting=False, l1=1.0,
+                               adversarial=0.1, feature_matching=1.0))
+    frozen_rest, _ = ldm.split_vae_params(vae_params)
+    state = ldm.init_state(vae_params, disc_params)
+    _, tgt_lat = tr_lat.encode(vae_params, None, reals[:, :1], reals)
+
+    gen = jax.jit(ldm.gen_step, static_argnames=("warmed_up",))
+    state, m = gen(state, frozen_rest, tgt_lat, reals, warmed_up=True)
+    assert np.isfinite(float(m["train/loss"]))
+    assert "train/loss_adv" in m and "train/feature_matching_loss" in m
+
+    dsc = jax.jit(ldm.disc_step)
+    state, md = dsc(state, frozen_rest, tgt_lat, reals)
+    assert np.isfinite(float(md["train/discriminator_loss"]))
+    assert not ldm.use_disc_this_step(0)
+
+
+def test_latent_pit_loss_rank_generic(latent_setup):
+    """compute_score_loss_with_pit on the 5-D latent state (B, n_src, D,
+    Tl): the permutation select must be rank-generic (crashed with
+    hardcoded 4-D indices)."""
+    import dataclasses as _dc
+
+    tr_lat, params, vae_params, mix, tgt = latent_setup
+    tr6 = _dc.replace(tr_lat, cfg=_dc.replace(tr_lat.cfg, init_hack=6))
+    loss = tr6.training_loss_latent(params, vae_params,
+                                    jax.random.PRNGKey(5), mix, tgt)
+    assert np.isfinite(float(loss))

@@ -204,3 +204,16 @@ def test_chunked_encode_decode_stitching(parity_pair):
     np.testing.assert_allclose(
         dec_chunked[:, :, :(cs - ov // 2) * hop],
         dec0[:, :, :(cs - ov // 2) * hop], atol=1e-6)
+
+
+def test_nearest_upsample_exact_length():
+    """use_nearest_upsample must keep the exact T*stride output-length
+    contract (torch padding='same' on the even 2s kernel is asymmetric:
+    s-1 left / s right; symmetric padding lost one frame per block)."""
+    from ditsep_tpu.models.oobleck import DecoderBlock
+
+    for s in (2, 4, 8):
+        blk = DecoderBlock(out_ch=4, stride=s, use_nearest_upsample=True)
+        x = jnp.zeros((1, 10, 8))
+        p = blk.init(jax.random.PRNGKey(0), x)
+        assert blk.apply(p, x).shape == (1, 10 * s, 4), s
