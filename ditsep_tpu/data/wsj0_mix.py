@@ -207,15 +207,42 @@ def max_collator(batch: Sequence[Tuple[np.ndarray, ...]],
     out: List[np.ndarray] = []
     n_fields = len(batch[0])
     for i in range(n_fields):
+        field = [b[i] for b in batch]
+        native_out = (_native_collate_center(field, max_len)
+                      if align == "center" else None)
+        if native_out is not None:
+            out.append(native_out)
+            continue
         arrs = []
-        for b in batch:
-            x = b[i]
+        for x in field:
             pad = max_len - x.shape[-1]
             lo = 0 if align == "left" else pad // 2
             arrs.append(np.pad(x, [(0, 0)] * (x.ndim - 1)
                                + [(lo, pad - lo)]))
         out.append(np.stack(arrs))
     return tuple(out)
+
+
+def _native_collate_center(field: Sequence[np.ndarray], max_len: int
+                           ) -> Optional[np.ndarray]:
+    """Centered collation of one batch field through the C library
+    (native/ditsep_io.cpp ditsep_collate_center): each (C, T) item's
+    channels are flattened into mono rows, collated into one contiguous
+    (sum_C, max_len) buffer, and reshaped back. Returns None (numpy
+    fallback) when the library is absent or the field isn't uniform
+    float32 (C, T)."""
+    from ditsep_tpu import native
+
+    if not all(x.ndim == 2 and x.dtype == np.float32 for x in field):
+        return None
+    c = field[0].shape[0]
+    if any(x.shape[0] != c for x in field):
+        return None
+    rows = [x[j] for x in field for j in range(c)]
+    flat = native.collate_center(rows, max_len)
+    if flat is None:
+        return None
+    return flat.reshape(len(field), c, max_len)
 
 
 def length_buckets(lengths: Sequence[int], n_buckets: int = 8,

@@ -8,6 +8,7 @@ the numpy/scipy paths when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -64,13 +65,18 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def load_wav(path: str, max_seconds: float = 600.0
-             ) -> Optional[Tuple[np.ndarray, int]]:
+def load_wav(path: str) -> Optional[Tuple[np.ndarray, int]]:
     """Native WAV load -> ((C, T) float32, fs); None if unavailable."""
     lib = get_lib()
     if lib is None:
         return None
-    max_samples = int(max_seconds * 48000 * 2)
+    try:
+        # every supported sample format is >= 2 bytes/sample, so
+        # filesize/2 always bounds the decoded sample count -- an exact
+        # cheap cap instead of a fixed multi-hundred-MB buffer per call
+        max_samples = os.path.getsize(path) // 2 + 64
+    except OSError:
+        return None
     buf = np.empty((max_samples,), np.float32)
     ch = ctypes.c_int(0)
     fs = ctypes.c_int(0)

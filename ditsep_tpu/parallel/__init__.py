@@ -33,21 +33,35 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(n_data: Optional[int] = None,
-              axis_names: Tuple[str, ...] = ("data",)) -> Mesh:
-    """1-D data-parallel mesh over all (or the first n_data) devices.
+              axis_names: Tuple[str, ...] = ("data",),
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Device mesh; 1-D data-parallel by default.
 
     The reference has only data parallelism (SURVEY section 2.11); extra
-    axes can be appended for future tensor/sequence sharding — pass e.g.
-    axis_names=('data', 'model') with n_data covering the product.
+    axes exist for future tensor/sequence sharding. For a genuinely
+    multi-axis layout pass ``shape`` explicitly (e.g.
+    axis_names=('data', 'model'), shape=(4, 2) on 8 devices) — its
+    product must cover the selected devices. Without ``shape``, all
+    devices land on the FIRST axis and any extra axes have size 1 (a
+    PartitionSpec over them is then a no-op by construction).
     """
     devs = jax.devices()
-    if n_data is not None:
+    if n_data is not None and shape is None:
         devs = devs[:n_data]
     n = len(devs)
-    if len(axis_names) == 1:
-        shape = (n,)
-    else:
+    if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
+    else:
+        if len(shape) != len(axis_names):
+            raise ValueError(f"shape {shape} does not match axis_names "
+                             f"{axis_names}")
+        total = 1
+        for d in shape:
+            total *= d
+        if total > n:
+            raise ValueError(f"mesh shape {shape} needs {total} devices, "
+                             f"only {n} available")
+        devs = devs[:total]
     return Mesh(np.asarray(devs).reshape(shape), axis_names)
 
 

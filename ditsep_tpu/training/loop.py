@@ -68,14 +68,20 @@ def fit(
     """Train a DiffSepTrainer (or compatible) to convergence."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    logger = MetricsLogger(workdir)
+    # multi-host: only process 0 writes metrics/checkpoints/config (the
+    # reference's rank gating, src/utils/ddp.py:4-10); every process
+    # still restores on resume
+    from ditsep_tpu.parallel import is_rank_zero
+    rank_zero = is_rank_zero()
+    logger = MetricsLogger(workdir, enabled=rank_zero)
     ckpt = CheckpointManager(f"{workdir}/checkpoints",
                              monitor="val/si_sdr", mode="max",
-                             save_top_k=save_top_k)
+                             save_top_k=save_top_k, write=rank_zero)
     # persist the run config next to the checkpoints (the reference
     # co-locates hparams.yaml and re-reads it at eval,
     # reference: src/evaluate_mp.py:40-79)
-    _save_run_config(workdir, trainer)
+    if rank_zero:
+        _save_run_config(workdir, trainer)
     key = jax.random.PRNGKey(seed)
 
     # init params from one example batch

@@ -12,6 +12,7 @@ eval-with-EMA.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from pathlib import Path
@@ -30,9 +31,16 @@ class CheckpointManager:
     """Top-k checkpoint manager keyed by a monitored metric."""
 
     def __init__(self, directory: str, monitor: str = "val/si_sdr",
-                 mode: str = "max", save_top_k: int = 20):
+                 mode: str = "max", save_top_k: int = 20,
+                 write: bool = True):
+        # write=False keeps restore() working but turns every write
+        # (ckpt dirs, index.json, best-model link) into a no-op --
+        # multi-host training passes write=is_rank_zero() so N hosts
+        # don't race the shared index/symlink
+        self.write = write
         self.dir = Path(directory)
-        self.dir.mkdir(parents=True, exist_ok=True)
+        if write:
+            self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
@@ -41,12 +49,22 @@ class CheckpointManager:
         if self._index_path.exists():
             self._index = json.loads(self._index_path.read_text())
 
+    def _rank_key(self, metric: float) -> float:
+        """Deterministic ordering key: NaN/missing metrics rank WORST
+        (sorted() with NaN keys is otherwise non-deterministic -- a NaN
+        checkpoint could shadow the true best or survive pruning)."""
+        if math.isnan(metric):
+            return -math.inf if self.mode == "max" else math.inf
+        return metric
+
     def _ckpt_name(self, step: int, metric: float) -> str:
         key = self.monitor.replace("/", "_")
         return f"step-{step:08d}_{key}-{metric:.3f}"
 
     def save(self, state: Any, step: int, metrics: Dict[str, float]) -> str:
         """Save `state` (any pytree); prune to top-k; refresh best link."""
+        if not self.write:
+            return ""
         ocp = _ocp()
         metric = float(metrics.get(self.monitor, float("nan")))
         name = self._ckpt_name(step, metric)
@@ -66,8 +84,8 @@ class CheckpointManager:
         if len(self._index) <= self.save_top_k:
             return
         rev = self.mode == "max"
-        ranked = sorted(self._index.items(), key=lambda kv: kv[1],
-                        reverse=rev)
+        ranked = sorted(self._index.items(),
+                        key=lambda kv: self._rank_key(kv[1]), reverse=rev)
         for name, _ in ranked[self.save_top_k:]:
             p = self.dir / name
             if p.exists():
@@ -83,7 +101,8 @@ class CheckpointManager:
         if not self._index:
             return
         rev = self.mode == "max"
-        best = sorted(self._index.items(), key=lambda kv: kv[1],
+        best = sorted(self._index.items(),
+                      key=lambda kv: self._rank_key(kv[1]),
                       reverse=rev)[0][0]
         link = self.dir / "best-model"
         tmp = self.dir / ".best-model.tmp"
@@ -95,6 +114,8 @@ class CheckpointManager:
     def save_latest(self, state: Any, step: int) -> str:
         """Unconditionally write/overwrite the rolling 'latest' checkpoint
         (crash-resume anchor, independent of the metric-ranked top-k)."""
+        if not self.write:
+            return ""
         ocp = _ocp()
         tmp = self.dir / ".latest.tmp"
         final = self.dir / "latest"
@@ -104,9 +125,16 @@ class CheckpointManager:
         ckptr.save(tmp.absolute(), state)
         ckptr.wait_until_finished()
         (tmp / "step.json").write_text(json.dumps({"step": int(step)}))
+        # never leave a window with NO 'latest': move the old one aside,
+        # atomically swap the new one in, then delete the old
+        old = self.dir / ".latest.old"
+        if old.exists():
+            shutil.rmtree(old)
         if final.exists():
-            shutil.rmtree(final)
+            os.replace(final, old)
         os.replace(tmp, final)
+        if old.exists():
+            shutil.rmtree(old)
         return str(final)
 
     def best_path(self) -> Optional[str]:
@@ -159,7 +187,12 @@ def load_params_npz(path: str, template: Any) -> Any:
     for kp, leaf in flat:
         key = "/".join(str(getattr(k, "key", k)) for k in kp)
         arr = data[key]
-        assert arr.shape == np.asarray(leaf).shape, (key, arr.shape)
+        want = np.asarray(leaf).shape
+        if arr.shape != want:  # not assert: must survive python -O
+            raise ValueError(
+                f"checkpoint leaf {key!r} has shape {arr.shape}, model "
+                f"expects {want} — wrong architecture/config for this "
+                "npz")
         leaves.append(arr.astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves)

@@ -16,12 +16,19 @@ class MetricsLogger:
     Set backend='wandb' to use wandb (gated on the optional package)."""
 
     def __init__(self, workdir: str, backend: str = "tensorboard",
-                 project: Optional[str] = None):
+                 project: Optional[str] = None, enabled: bool = True):
+        # enabled=False turns every write into a no-op -- multi-host
+        # training passes enabled=is_rank_zero() so N processes don't
+        # interleave one shared metrics.jsonl / tb event stream
+        self.enabled = enabled
         self.dir = Path(workdir)
-        self.dir.mkdir(parents=True, exist_ok=True)
-        self._jsonl = open(self.dir / "metrics.jsonl", "a")
+        self._jsonl = None
         self._tb = None
         self._wandb = None
+        if not enabled:
+            return
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.dir / "metrics.jsonl", "a")
         if backend == "tensorboard":
             try:
                 from tensorboardX import SummaryWriter
@@ -44,8 +51,17 @@ class MetricsLogger:
         The audio Summary proto is built directly (stdlib WAV encoding):
         tensorboardX.add_audio needs the soundfile package, absent here.
         """
+        if not self.enabled:
+            return
         import numpy as np
         x = np.asarray(wav, np.float32).reshape(-1)
+        if x.size == 0:
+            return  # nothing to log; np.max on empty raises
+        # sanitize non-finite audio (diverged training) BEFORE peak
+        # normalization: NaN is truthy, so `peak or 1.0` won't catch it
+        # and NaN/32767 would cast to int16 garbage
+        if not np.isfinite(x).all():
+            x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
         peak = float(np.max(np.abs(x))) or 1.0
         x = x / max(peak, 1e-8)
         if self._tb is not None:
@@ -87,6 +103,8 @@ class MetricsLogger:
             pass
 
     def log(self, metrics: Dict[str, float], step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "time": time.time(),
                **{k: float(v) for k, v in metrics.items()}}
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -98,7 +116,8 @@ class MetricsLogger:
             self._wandb.log(metrics, step=step)
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

@@ -55,6 +55,8 @@ long ditsep_load_wav_f32(const char* path, float* out, long max_samples,
       break;
     if (std::memcmp(id, "fmt ", 4) == 0) {
       uint8_t buf[40];
+      if (size < 16) { std::fclose(f); return -3; }  // truncated fmt:
+      // reading fewer bytes would leave bits/rate uninitialized
       uint32_t n = size < sizeof(buf) ? size : (uint32_t)sizeof(buf);
       if (std::fread(buf, 1, n, f) != n) { std::fclose(f); return -4; }
       if (size > n) std::fseek(f, size - n, SEEK_CUR);
@@ -148,9 +150,10 @@ int ditsep_write_wav_pcm16(const char* path, const float* data, long frames,
     if (v < -1.0f) v = -1.0f;
     buf[(size_t)i] = (int16_t)(v * 32767.0f);
   }
-  std::fwrite(buf.data(), 2, (size_t)(frames * channels), f);
-  std::fclose(f);
-  return 0;
+  size_t wrote = std::fwrite(buf.data(), 2, (size_t)(frames * channels), f);
+  int rc = (wrote == (size_t)(frames * channels)) ? 0 : -2;
+  if (std::fclose(f) != 0 && rc == 0) rc = -3;  // flush can fail (ENOSPC)
+  return rc;
 }
 
 // --------------------------------------------------------- batch build ----

@@ -443,3 +443,36 @@ def test_item_length_header_probe(tmp_path):
         assert nd.item_length(i) == nd[i][0].shape[-1]
     ndc = NoisyDataset(path=str(root), split="train", len_s=0.5)
     assert ndc.item_length(0) == ndc[0][0].shape[-1] == 8000
+
+
+def test_native_collate_matches_numpy():
+    """The C collate path (native/ditsep_io.cpp) must produce exactly
+    the numpy collation for centered float32 batches, and stay off for
+    non-eligible fields (left-align, non-f32)."""
+    from ditsep_tpu import native
+    from ditsep_tpu.data.wsj0_mix import _native_collate_center
+
+    rng = np.random.default_rng(0)
+    batch = [(rng.standard_normal((1, t)).astype(np.float32),
+              rng.standard_normal((2, t)).astype(np.float32))
+             for t in (100, 73, 58)]
+    mix, tgt = max_collator(batch)  # native path when lib present
+
+    def numpy_ref(i):
+        arrs = []
+        for b in batch:
+            pad = 100 - b[i].shape[-1]
+            lo = pad // 2
+            arrs.append(np.pad(b[i], [(0, 0), (lo, pad - lo)]))
+        return np.stack(arrs)
+
+    np.testing.assert_array_equal(mix, numpy_ref(0))
+    np.testing.assert_array_equal(tgt, numpy_ref(1))
+    if native.available():
+        assert _native_collate_center([b[0] for b in batch], 100) \
+            is not None
+    # 3-D / non-f32 fields fall back to numpy
+    assert _native_collate_center([np.zeros((1, 2, 3), np.float32)],
+                                  4) is None
+    assert _native_collate_center([np.zeros((1, 3), np.float64)],
+                                  4) is None

@@ -150,3 +150,73 @@ def test_enhancement_family_builds():
     assert tr.sde.sigma_min == 0.05 and tr.sde.sigma_max == 0.5
     assert tr.cfg.init_hack == 4 and tr.is_matrix
     assert tr.cfg.train_source_order is None
+
+
+def test_checkpoint_nan_metric_never_best(tmp_path):
+    """NaN/missing monitor metrics rank WORST deterministically: a NaN
+    checkpoint must never take the best-model link and is pruned first
+    (python's sorted() with raw NaN keys is non-deterministic)."""
+    mgr = CheckpointManager(str(tmp_path), monitor="val/si_sdr",
+                            mode="max", save_top_k=2)
+    state = {"w": np.ones((2,), np.float32)}
+    mgr.save(state, 1, {"val/si_sdr": 5.0})
+    mgr.save(state, 2, {})  # missing metric -> NaN
+    mgr.save(state, 3, {"val/si_sdr": 7.0})
+    import os as _os
+    best = _os.path.basename(mgr.best_path())
+    assert "7.000" in best
+    # the NaN checkpoint was pruned, the two real ones survive
+    assert set(mgr._index) == {
+        n for n in mgr._index if "nan" not in n}
+    assert len(mgr._index) == 2
+    assert any("5.000" in n for n in mgr._index)
+
+
+def test_checkpoint_latest_swap_never_empty(tmp_path):
+    """save_latest must never pass through a state with NO 'latest' on
+    disk (crash-resume anchor): the old one is moved aside, the new one
+    swapped in atomically."""
+    mgr = CheckpointManager(str(tmp_path))
+    s1 = {"w": np.ones((2,), np.float32)}
+    mgr.save_latest(s1, 1)
+    s2 = {"w": np.full((2,), 2.0, np.float32)}
+    p = mgr.save_latest(s2, 2)
+    restored = mgr.restore({"w": np.zeros((2,), np.float32)},
+                           prefer="latest")
+    np.testing.assert_array_equal(restored["w"], s2["w"])
+    assert p.endswith("latest")
+    assert not (tmp_path / ".latest.old").exists()
+
+
+def test_checkpoint_and_logger_write_gating(tmp_path):
+    """write=False / enabled=False (non-rank-zero processes) produce no
+    files but keep restore() working."""
+    from ditsep_tpu.utils.logging import MetricsLogger
+
+    w = CheckpointManager(str(tmp_path / "w"), write=True)
+    w.save_latest({"w": np.ones((2,), np.float32)}, 5)
+    ro = CheckpointManager(str(tmp_path / "w"), write=False)
+    assert ro.save({"w": np.ones((2,), np.float32)}, 6,
+                   {"val/si_sdr": 1.0}) == ""
+    got = ro.restore({"w": np.zeros((2,), np.float32)}, prefer="latest")
+    np.testing.assert_array_equal(got["w"], 1.0)
+
+    lg = MetricsLogger(str(tmp_path / "lg"), enabled=False)
+    lg.log({"a": 1.0}, 0)
+    lg.log_audio("x", np.zeros(10), 0)
+    lg.close()
+    assert not (tmp_path / "lg").exists()
+
+
+def test_make_mesh_multi_axis_shape():
+    import jax as _jax
+
+    from ditsep_tpu.parallel import make_mesh
+
+    n = len(_jax.devices())
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = make_mesh(axis_names=("data", "model"), shape=(n // 2, 2))
+    assert mesh.shape == {"data": n // 2, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(axis_names=("data", "model"), shape=(n, 2))
