@@ -127,7 +127,10 @@ def wss(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> np.ndarray:
     for i in range(n_bands):
         f0 = cf[i] / max_freq * (n_fft / 2)
         bwi = bw[i] / max_freq * (n_fft / 2)
-        norm_factor = np.log(bwi) - np.log(_BANDWIDTH[0])
+        # gain bw_min/bw_i in the Hz domain (reference:
+        # evaluate_covl.py:243 norm_factor = log(bw_min) - log(bw_i));
+        # the inverted/FFT-scaled form skews wide bands by (bw_i/bw_0)^2
+        norm_factor = np.log(_BANDWIDTH[0]) - np.log(bw[i])
         j = np.arange(n_fft // 2)
         filters[i] = np.exp(-11 * ((j - np.floor(f0)) / bwi) ** 2
                             + norm_factor)
@@ -178,11 +181,20 @@ def eval_composite(ref: np.ndarray, deg: np.ndarray, fs: int = 16000,
                    alpha: float = 0.95) -> Dict[str, float]:
     """CSIG/CBAK/COVL (reference: src/evaluate/evaluate_covl.py:18-56).
     PESQ enters through `pesq_metric` (ITU package when installed, else
-    the in-repo P.862 implementation), so the composites are finite."""
+    the in-repo P.862 implementation); a failed PESQ (e.g. unsupported
+    fs) propagates NaN into the composites with a one-time warning."""
     ref = np.asarray(ref).reshape(-1)
     deg = np.asarray(deg).reshape(-1)
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
+    # the framed measures need at least one full analysis window plus a
+    # hop (30 ms win, 7.5 ms skip); shorter clips get NaN rather than a
+    # np.stack-of-nothing crash
+    min_len = int(round(30 * fs / 1000)) + int(round(30 * fs / 1000)) // 4
+    if n < min_len:
+        nan = float("nan")
+        return {"csig": nan, "cbak": nan, "covl": nan, "wss": nan,
+                "llr": nan, "ssnr": nan, "pesq": nan}
 
     wss_vec = np.sort(wss(ref, deg, fs))
     wss_dist = float(np.mean(wss_vec[: int(round(len(wss_vec) * alpha))]))

@@ -300,7 +300,7 @@ def _save_media(out_dir, split_name, idx, mix, est, target, fs,
 
 
 def _metrics_entry(idx, mix, est, target, fs, runtime, nfe) -> Dict:
-    m = compute_metrics(mix, est, target, fs=fs)
+    m = compute_metrics(est, target, fs=fs)
     return {
         "batch_idx": idx,
         "si_sdr": [m["si_sdr"]],

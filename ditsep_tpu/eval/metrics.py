@@ -26,13 +26,11 @@ import numpy as np
 
 
 # ------------------------------------------------------------- BSS eval --
-def _si_bss_decomp(est: np.ndarray, refs: np.ndarray, j: int,
-                   eps: float = 1e-10):
-    """Decompose est into target/interference/artifact parts w.r.t.
-    reference j (scale-invariant, no filtering)."""
-    s = refs[j]
-    s_target = (est @ s) / max(s @ s, eps) * s
-    # projection onto the span of all references
+def _si_bss_project(est: np.ndarray, refs: np.ndarray,
+                    eps: float = 1e-10):
+    """Project est onto span(refs): returns (p_s, e_artif), which depend
+    only on the estimate -- hoisted out of the per-reference loop (the
+    Gram solve would otherwise run n^2 instead of n times)."""
     g = refs @ refs.T  # (n, n) Gram
     d = refs @ est     # (n,)
     try:
@@ -40,9 +38,7 @@ def _si_bss_decomp(est: np.ndarray, refs: np.ndarray, j: int,
     except np.linalg.LinAlgError:
         c = np.linalg.lstsq(g, d, rcond=None)[0]
     p_s = c @ refs
-    e_interf = p_s - s_target
-    e_artif = est - p_s
-    return s_target, e_interf, e_artif
+    return p_s, est - p_s
 
 
 def _db(num: float, den: float, eps: float = 1e-10) -> float:
@@ -55,19 +51,26 @@ def si_bss_eval_sources(
     """Scale-invariant SDR/SIR/SAR with optimal permutation.
 
     Args: ref, est (n_src, T).
-    Returns (sdr, sir, sar, perm) each (n_src,) -- the same contract as
-    fast_bss_eval.si_bss_eval_sources (reference: src/evaluate_mp.py:176).
+    Returns (sdr, sir, sar, perm), each (n_src,), following the
+    fast_bss_eval contract exactly (reference: src/evaluate_mp.py:176):
+    metrics are ordered BY REFERENCE and ``est[perm]`` aligns to ``ref``
+    (perm[j] = index of the estimate matching reference j), so
+    per-source lists in results JSON diff directly against the
+    reference's artifacts.
     """
     n = ref.shape[0]
     ref = ref - ref.mean(axis=-1, keepdims=True)
     est = est - est.mean(axis=-1, keepdims=True)
 
-    sdr_mat = np.zeros((n, n))
+    sdr_mat = np.zeros((n, n))  # [est i, ref j]
     sir_mat = np.zeros((n, n))
     sar_mat = np.zeros((n, n))
     for i in range(n):
+        p_s, e_a = _si_bss_project(est[i], ref)
         for j in range(n):
-            s_t, e_i, e_a = _si_bss_decomp(est[i], ref, j)
+            sref = ref[j]
+            s_t = (est[i] @ sref) / max(sref @ sref, 1e-10) * sref
+            e_i = p_s - s_t
             sdr_mat[i, j] = _db(s_t @ s_t, (e_i + e_a) @ (e_i + e_a))
             sir_mat[i, j] = _db(s_t @ s_t, e_i @ e_i)
             sar_mat[i, j] = _db((s_t + e_i) @ (s_t + e_i), e_a @ e_a)
@@ -76,9 +79,12 @@ def si_bss_eval_sources(
         v = np.mean([sdr_mat[i, p[i]] for i in range(n)])
         if v > best:
             best, best_perm = v, p
-    idx = np.asarray(best_perm)
-    rows = np.arange(n)
-    return (sdr_mat[rows, idx], sir_mat[rows, idx], sar_mat[rows, idx], idx)
+    # best_perm[i] = ref matched to est i; invert to the fast_bss_eval
+    # orientation (perm[j] = est matched to ref j, metrics ref-ordered)
+    inv = np.argsort(np.asarray(best_perm))
+    cols = np.arange(n)
+    return (sdr_mat[inv, cols], sir_mat[inv, cols], sar_mat[inv, cols],
+            inv)
 
 
 # ----------------------------------------------------------------- STOI --
@@ -149,6 +155,9 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int,
         x = resample_poly(x, _STOI_FS // g, fs // g)
         y = resample_poly(y, _STOI_FS // g, fs // g)
     hop = _STOI_NFRAME // 2
+    if min(len(x), len(y)) < _STOI_NFRAME:
+        return float("nan")  # shorter than one frame: guard BEFORE
+        # framing (the windowing would raise a broadcast error)
     x, y = _remove_silent_frames(x, y, _STOI_DYN_RANGE, _STOI_NFRAME, hop)
     if len(x) < _STOI_NFRAME:
         return float("nan")
@@ -200,6 +209,7 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int,
 
 # ----------------------------------------------------------------- PESQ --
 _PESQ_FALLBACK_WARNED = False
+_PESQ_ERROR_WARNED = False
 
 
 def pesq_impl() -> str:
@@ -239,20 +249,28 @@ def pesq_metric(ref: np.ndarray, est: np.ndarray, fs: int,
                 "directly comparable to ITU-PESQ numbers.", stacklevel=2)
     try:
         return float(_pesq(fs, ref, est, mode))
-    except Exception:
+    except Exception as e:
+        # NaN is the documented degraded result, but never silently:
+        # a whole run of NaN composites otherwise looks like data, not
+        # like the unsupported-fs / implementation error it is
+        global _PESQ_ERROR_WARNED
+        if not _PESQ_ERROR_WARNED:
+            _PESQ_ERROR_WARNED = True
+            import warnings
+            warnings.warn(f"pesq failed ({e!r}); returning NaN (this "
+                          "warning prints once)", stacklevel=2)
         return float("nan")
 
 
-def compute_metrics(mix: np.ndarray, est: np.ndarray, target: np.ndarray,
+def compute_metrics(est: np.ndarray, target: np.ndarray,
                     fs: int = 8000) -> Dict[str, object]:
     """Per-utterance metric dict matching the reference's schema
-    (reference: src/evaluate_mp.py:171-189): si_sdr/si_sir/si_sar lists,
-    mean pesq and estoi over permutation-aligned sources."""
+    (reference: src/evaluate_mp.py:171-189): si_sdr/si_sir/si_sar lists
+    (reference-ordered), mean pesq and estoi over permutation-aligned
+    sources."""
     sdr, sir, sar, perm = si_bss_eval_sources(target, est)
-    # align est to targets via perm: est[i] matches target[perm[i]]
-    aligned = np.empty_like(est)
-    for i, j in enumerate(perm):
-        aligned[j] = est[i]
+    # fast_bss_eval orientation: est[perm] aligns to target
+    aligned = est[np.asarray(perm)]
     pesq_vals = [pesq_metric(target[j], aligned[j], fs)
                  for j in range(target.shape[0])]
     stoi_vals = [stoi(target[j], aligned[j], fs, extended=True)

@@ -150,7 +150,12 @@ class LatentDiffSepTrainer(DiffSepTrainer):
                            return_est: bool = False, **kwargs):
         """Latent separation + SI-SDR for validation; return_est also
         hands back the decoded estimates for rich-media val demos
-        (same contract as DiffSepTrainer.val_separation_metrics)."""
+        (same schema as DiffSepTrainer.val_separation_metrics; one
+        deliberate difference: zero_mean=False here vs True there — the
+        reference's latent config explicitly sets zero_mean: false for
+        its val SISDRLoss, latent_diffsep_ouve/model/default.yaml, while
+        the waveform config sets true, so the two pipelines' val/si_sdr
+        are not directly comparable in the reference either)."""
         mix, target = batch
         est, _ = self.separate_latent(params, vae_params, key, mix,
                                       target_dim=target.shape[-1], **kwargs)

@@ -114,7 +114,7 @@ def test_compute_metrics_schema():
     tgt = rng.standard_normal((2, 16000)).astype(np.float32) * 0.3
     mix = tgt.sum(0, keepdims=True)
     est = tgt + 0.05 * rng.standard_normal((2, 16000)).astype(np.float32)
-    m = compute_metrics(mix, est, tgt, fs=8000)
+    m = compute_metrics(est, tgt, fs=8000)
     assert set(m) == {"si_sdr", "si_sir", "si_sar", "perm", "pesq",
                       "pesq_impl", "stoi"}
     assert len(m["si_sdr"]) == 2
@@ -476,3 +476,59 @@ def test_native_collate_matches_numpy():
                                   4) is None
     assert _native_collate_center([np.zeros((1, 3), np.float64)],
                                   4) is None
+
+
+def test_merge_dnsmos_summary_and_index_parse(tmp_path):
+    """DNSMOS merge: last-digit-run filename indexing (not the first),
+    per-utterance columns joined, and the summary JSON's means
+    refreshed to include the new fields (reference:
+    src/evaluate/merge_dnsmos.py:12-160)."""
+    from ditsep_tpu.eval.dnsmos import merge_dnsmos
+
+    results = {"1": {"si_sdr": [7.0, 8.0]}, "2": {"si_sdr": [5.0, 6.0]}}
+    rp = tmp_path / "test.json"
+    rp.write_text(json.dumps(results))
+    (tmp_path / "test_summary.json").write_text(
+        json.dumps({"si_sdr": 0.0, "number": 0}))
+    csv_p = tmp_path / "dnsmos.csv"
+    csv_p.write_text(
+        "filename,OVRL,SIG,BAK\n"
+        "0001.enh0.wav,3.0,3.2,3.4\n"   # harness naming: idx 1, stem-
+        "0001.enh1.wav,3.2,3.4,3.6\n"   # trailing enh digit ignored
+        "0002.enh0.wav,2.0,2.2,2.4\n"
+        "0099.enh0.wav,9.9,9.9,9.9\n")  # no such utterance
+    with pytest.warns(UserWarning, match="matched no utterance"):
+        merged = merge_dnsmos(str(rp), str(csv_p))
+    assert merged["1"]["dnsmos_ovrl"] == [3.0, 3.2]
+    assert merged["2"]["dnsmos_ovrl"] == [2.0]
+    summary = json.loads((tmp_path / "test_summary.json").read_text())
+    assert summary["number"] == 2
+    assert abs(summary["si_sdr"] - 6.5) < 1e-9
+    assert abs(summary["dnsmos_ovrl"] - (3.1 + 2.0) / 2) < 1e-9
+    # foreign naming handled via an explicit pattern
+    csv2 = tmp_path / "dnsmos2.csv"
+    csv2.write_text("filename,OVRL,SIG,BAK\n"
+                    "fs8000_0002.enh0.wav,4.0,4.0,4.0\n")
+    merged2 = merge_dnsmos(str(rp), str(csv2),
+                           filename_index_re=r"_(\d+)\.")
+    assert merged2["2"]["dnsmos_ovrl"] == [4.0]
+
+
+def test_wss_narrow_bands_weighted_up():
+    """The critical-band gain must be bw_min/bw_i (reference:
+    evaluate_covl.py:243): narrow low bands get the largest filter
+    peaks. The inverted form boosted WIDE bands by (bw_i/bw_0)^2."""
+    from ditsep_tpu.eval.composite import _BANDWIDTH, wss
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000 * 2) * 0.1
+    # identical signals -> zero distance regardless of normalization;
+    # perturbed high band -> finite distance (behavioral smoke)
+    assert float(np.mean(wss(x, x, 16000))) < 1e-9
+    y = x + 0.05 * np.sin(2 * np.pi * 6000 *
+                          np.arange(x.size) / 16000)
+    assert float(np.mean(wss(x, y, 16000))) > 0
+    # direct check of the documented gain ratio on the filter bank
+    import ditsep_tpu.eval.composite as comp
+    src = open(comp.__file__).read()
+    assert "np.log(_BANDWIDTH[0]) - np.log(bw[i])" in src

@@ -95,7 +95,7 @@ def test_compute_metrics_pesq_finite():
     tgt = np.stack([_speechlike(seed=1), _speechlike(f0=200.0, seed=2)])
     mix = tgt.sum(0, keepdims=True)
     est = tgt + 0.02 * rng.standard_normal(tgt.shape)
-    m = compute_metrics(mix, est, tgt, fs=8000)
+    m = compute_metrics(est, tgt, fs=8000)
     assert np.isfinite(m["pesq"]) and m["pesq"] > 1.0
 
 

@@ -51,7 +51,9 @@ def test_bss_eval_three_sources():
     ref = rng.standard_normal((3, 3000))
     est = ref[[1, 2, 0]] + 0.05 * rng.standard_normal((3, 3000))
     sdr, sir, sar, perm = si_bss_eval_sources(ref, est)
-    assert list(perm) == [1, 2, 0]
+    # fast_bss_eval orientation: est[perm] aligns to ref
+    assert list(perm) == [2, 0, 1]
+    np.testing.assert_allclose(est[perm], ref, atol=0.25)
     assert np.all(sdr > 15)
 
 
