@@ -288,6 +288,10 @@ class BucketedLoader:
     # the layout the model sees at native lengths and in the test-eval
     # harness (eval/evaluate.py).
     align: str = "center"
+    # yield_counts=True appends each batch's REAL item count (before the
+    # remainder-fill) to the yielded tuple, so metric consumers can
+    # weight out the filler
+    yield_counts: bool = False
 
     def __post_init__(self):
         get_len = getattr(self.dataset, "item_length", None)
@@ -339,14 +343,20 @@ class BucketedLoader:
             pools.setdefault(b, []).append(idx)
             if len(pools[b]) == self.batch_size:
                 items = [self.dataset[i] for i in pools.pop(b)]
-                yield max_collator(items, pad_to=b, align=self.align)
+                out = max_collator(items, pad_to=b, align=self.align)
+                yield out + (len(items),) if self.yield_counts else out
         if not self.drop_remainder:
             for b, idxs in pools.items():
                 if not idxs:
                     continue
-                # pad the batch up to batch_size by repeating the last item
-                # (static batch shape); callers can mask via true count
+                # fill the batch up to batch_size by CYCLING the real
+                # items (static batch shape; cycling spreads the filler
+                # evenly so a batch-mean metric stays nearly unbiased,
+                # unlike repeating only the last item); consumers can
+                # weight exactly via yield_counts
                 items = [self.dataset[i] for i in idxs]
+                n_real = len(items)
                 while len(items) < self.batch_size:
-                    items.append(items[-1])
-                yield max_collator(items, pad_to=b, align=self.align)
+                    items.append(items[len(items) % n_real])
+                out = max_collator(items, pad_to=b, align=self.align)
+                yield out + (n_real,) if self.yield_counts else out

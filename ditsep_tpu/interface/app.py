@@ -136,12 +136,26 @@ class GenerationApp:
 
         init = None
         if init_audio is not None:
-            init = jnp.asarray(_to_mono_batch(np.asarray(init_audio)))
+            init = np.asarray(_to_mono_batch(np.asarray(init_audio)))
+            # pad/crop to sample_size (the reference gradio flow does
+            # the same; a different-length init would shape-mismatch
+            # the sampler's noise)
+            t = init.shape[-1]
+            if t < self.sample_size:
+                init = np.pad(init, [(0, 0)] * (init.ndim - 1)
+                              + [(0, self.sample_size - t)])
+            elif t > self.sample_size:
+                init = init[..., :self.sample_size]
             init = jnp.broadcast_to(
-                init, (batch, self.io_channels, init.shape[-1]))
+                jnp.asarray(init),
+                (batch, self.io_channels, self.sample_size))
         mask_args = None
         if inpaint_mask is not None:
-            m = jnp.asarray(inpaint_mask, jnp.float32).reshape(1, 1, -1)
+            m = jnp.asarray(inpaint_mask, jnp.float32)
+            if m.ndim == 3:  # per-batch (B, 1, L) masks pass through
+                pass
+            else:
+                m = m.reshape(1, 1, -1)
             mask_args = {"mask": jnp.broadcast_to(
                 m, (batch, 1, m.shape[-1]))}
 

@@ -140,6 +140,9 @@ _G2P_RULES = [
     ("z", ["Z"])]
 
 
+_G2P_SINGLETON = None
+
+
 def text_to_phonemes(text: str) -> List[str]:
     """English text -> ARPABET phoneme list. Uses g2p_en when installed
     (the reference's encoder), else the rule-based fallback; spaces and
@@ -149,7 +152,12 @@ def text_to_phonemes(text: str) -> List[str]:
         out = []
         import string as _string
         ignore = set(" " + _string.punctuation)
-        for p in G2p()(text):
+        global _G2P_SINGLETON
+        if _G2P_SINGLETON is None:
+            # G2p() reloads cmudict + its seq2seq weights on every
+            # construction (~hundreds of ms) -- cache one instance
+            _G2P_SINGLETON = G2p()
+        for p in _G2P_SINGLETON(text):
             out.append("_" if p in ignore else p)
         return out
     except ImportError:
@@ -264,16 +272,23 @@ class HostEmbeddingConditioner(nn.Module):
     project_out: bool = True
 
     @nn.compact
-    def __call__(self, embeddings: Array) -> Tuple[Array, Array]:
+    def __call__(self, embeddings: Array,
+                 mask: Optional[Array] = None) -> Tuple[Array, Array]:
         emb = jnp.asarray(embeddings, jnp.float32)
         if emb.ndim == 2:
             emb = emb[:, None, :]
         if self.project_out or emb.shape[-1] != self.output_dim:
             emb = nn.Dense(self.output_dim, name="proj_out")(emb)
-        # padding convention: all-zero embedding rows are padding
-        mask = jnp.any(embeddings != 0, axis=-1) if embeddings.ndim == 3 \
+        if mask is not None:
+            # the encoder's true attention mask (t5_encode_host returns
+            # one) -- ALWAYS prefer it: T5 emits non-zero hidden states
+            # at pad positions, so the all-zero-row heuristic below
+            # would attend to padding
+            return emb, jnp.asarray(mask).astype(bool)
+        # fallback padding convention: all-zero embedding rows are padding
+        hmask = jnp.any(embeddings != 0, axis=-1) if embeddings.ndim == 3 \
             else jnp.ones(emb.shape[:2], bool)
-        return emb, mask
+        return emb, hmask
 
 
 def create_multi_conditioner_from_config(cond_config: Dict
@@ -329,14 +344,27 @@ class MultiConditioner:
 
     def init(self, key: Array, batch_inputs: Dict[str, Array]):
         variables = {}
-        for name, cond in self.conditioners.items():
+        for i, (name, cond) in enumerate(self.conditioners.items()):
             src = name if name in batch_inputs else self.default_keys[name]
-            variables[name] = cond.init(key, batch_inputs[src])
+            # distinct key per conditioner: same-shaped conditioners
+            # (e.g. seconds_start/seconds_total) must not start with
+            # byte-identical weights
+            val = batch_inputs[src]
+            if isinstance(val, tuple) and len(val) == 2:
+                val = val[0]  # (embeddings, mask) pairs init on emb
+            variables[name] = cond.init(jax.random.fold_in(key, i), val)
         return variables
 
     def __call__(self, variables, batch_inputs: Dict[str, Array]):
         out = {}
         for name, cond in self.conditioners.items():
             src = name if name in batch_inputs else self.default_keys[name]
-            out[name] = cond.apply(variables[name], batch_inputs[src])
+            val = batch_inputs[src]
+            if isinstance(val, tuple) and len(val) == 2:
+                # (embeddings, attention_mask) pairs — e.g. the tuple
+                # t5_encode_host returns — forward the true mask
+                out[name] = cond.apply(variables[name], val[0],
+                                       mask=val[1])
+            else:
+                out[name] = cond.apply(variables[name], val)
         return out

@@ -146,20 +146,25 @@ def fit(
         val_loader = BucketedLoader(val_dataset, batch_size=batch_size,
                                     n_buckets=2, multiple=bucket_multiple,
                                     shuffle=False, frame_spec=frame_spec,
-                                    align="left")
+                                    align="left", yield_counts=True)
 
     global_step = int(state.step)
+    progress = {"state": state, "step": global_step}
     try:
         state, global_step = _train_epochs(
             trainer, state, loader, val_loader, step_fn, val_loss_fn,
             val_sep_fn, key, mesh, logger, ckpt, global_step, max_epochs,
             max_steps, log_every, valid_max_sep_batches, seed,
-            log_media, media_fs, prefetch_depth, callbacks)
+            log_media, media_fs, prefetch_depth, callbacks,
+            progress=progress)
     except Exception:
-        # emergency checkpoint so a crash loses at most one epoch
-        # (the reference only prints exceptions, src/train_ldm.py:16-18)
+        # emergency checkpoint so a crash loses at most one epoch;
+        # save the LIVE state from the progress holder — the local
+        # `state` still binds the pre-training value when
+        # _train_epochs raises (the reference only prints exceptions,
+        # src/train_ldm.py:16-18)
         try:
-            ckpt.save_latest(state, global_step)
+            ckpt.save_latest(progress["state"], progress["step"])
         except Exception:
             pass
         raise
@@ -183,23 +188,45 @@ def _prefetch(iterable, prepare, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterable:
-                q.put(prepare(item))
+                if stop.is_set():
+                    return
+                prepared = prepare(item)
+                while not stop.is_set():
+                    try:
+                        q.put(prepared, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
             q.put(sentinel)
         except BaseException as e:  # surface loader errors in main thread
             q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # abandoning the generator (max_steps break, exception) must not
+        # leave the worker blocked on a full queue pinning device-
+        # resident batches for the life of the process
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5)
 
 
 def _log_val_media(logger, batch, est, step: int, fs: int) -> None:
@@ -228,7 +255,7 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
                   val_sep_fn, key, mesh, logger, ckpt, global_step,
                   max_epochs, max_steps, log_every, valid_max_sep_batches,
                   seed, log_media=True, media_fs=8000, prefetch_depth=0,
-                  callbacks=()):
+                  callbacks=(), progress=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -251,16 +278,23 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
             key, k_step = jax.random.split(key)
             state, metrics = step_fn(state, k_step, batch)
             global_step += 1
+            if progress is not None:
+                # live view for fit()'s emergency checkpoint: a crash
+                # must save THIS state, not the pre-training one
+                progress["state"] = state
+                progress["step"] = global_step
             if global_step % log_every == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            global_step)
             # step callbacks (the reference's Lightning callback hook
-            # point, e.g. demo callbacks from training/demo.py or the
-            # factory's create_demo_callback_from_config; reference:
+            # point; reference:
             # src/stable_audio_tools/training/factory.py:160-245).
-            # A callback exposes due(step) and
-            # __call__(logger, step, trainer, state, key); failures must
-            # never take down a training run (media only).
+            # fit()'s contract: a callback exposes due(step) and
+            # __call__(logger, step, trainer, state, key) — the
+            # SeparationDemoCallback shape. The stable-audio factory
+            # demo callbacks (training/demo.py) have DIFFERENT
+            # signatures and are driven by cli/train_stable, not here.
+            # Failures must never take down a training run (media only).
             for cb in callbacks:
                 if cb.due(global_step):
                     key, k_cb = jax.random.split(key)
@@ -278,8 +312,10 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
         if val_loader is not None:
             score_losses = []
             si_sdrs = []
+            weights = []
+            sep_weights = []
             n_sep = 0
-            for mix_b, tgt_b in val_loader:
+            for mix_b, tgt_b, n_real in val_loader:
                 key, k1, k2 = jax.random.split(key, 3)
                 batch = (jnp.asarray(mix_b), jnp.asarray(tgt_b))
                 if mesh is not None:
@@ -288,19 +324,25 @@ def _train_epochs(trainer, state, loader, val_loader, step_fn, val_loss_fn,
                             x, NamedSharding(mesh, P("data"))), batch)
                 score_losses.append(float(jnp.mean(
                     val_loss_fn(state.params, k1, batch))))
+                weights.append(n_real)
                 if n_sep < valid_max_sep_batches:
                     n_sep += 1
                     # EMA params at eval, reference src/diffsep.py:586-606
                     m, est = val_sep_fn(state.ema_params, k2, batch)
                     si_sdrs.append(float(m["val/si_sdr"]))
+                    sep_weights.append(n_real)
                     if n_sep == 1 and log_media:
                         _log_val_media(logger, batch, est, global_step,
                                        media_fs)
+            # weight batch means by their REAL item count: remainder
+            # batches are padded by cycling real items (BucketedLoader),
+            # so an unweighted mean would overweight them
             if score_losses:
                 val_metrics["val/score_loss"] = float(
-                    np.mean(score_losses))
+                    np.average(score_losses, weights=weights))
             if si_sdrs:
-                val_metrics["val/si_sdr"] = float(np.mean(si_sdrs))
+                val_metrics["val/si_sdr"] = float(
+                    np.average(si_sdrs, weights=sep_weights))
             logger.log(val_metrics, global_step)
             ckpt.save(state, global_step, val_metrics)
         # rolling latest checkpoint every epoch regardless of validation

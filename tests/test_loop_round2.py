@@ -124,3 +124,56 @@ def test_fit_step_callbacks(tmp_path):
     assert events
     blob = b"".join(open(e, "rb").read() for e in events)
     assert b"demo/est_0" in blob and b"demo/mix" in blob
+
+
+@pytest.mark.slow
+def test_emergency_checkpoint_saves_live_state(tmp_path):
+    """A crash mid-training must save the LIVE state to 'latest', not
+    the pre-training one (which would destroy all progress on resume)."""
+    from ditsep_tpu.data import SyntheticMixDataset
+    from ditsep_tpu.training.loop import fit
+    from ditsep_tpu.utils.checkpoint import CheckpointManager
+
+    class ExplodingDataset(SyntheticMixDataset):
+        """Raises on the access that starts epoch 2."""
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.reads = 0
+
+        def __getitem__(self, idx):
+            self.reads += 1
+            if self.reads > 2 * self.n_items + 1:  # init probe + epoch 1
+                raise RuntimeError("boom")
+            return super().__getitem__(idx)
+
+    counters = {"score": 0, "sep": 0}
+    tr = _tiny_trainer(counters)
+    ds = ExplodingDataset(n_items=2, min_len_s=0.25, max_len_s=0.25)
+    with pytest.raises(RuntimeError, match="boom"):
+        fit(tr, ds, None, workdir=str(tmp_path), batch_size=2,
+            max_epochs=5, log_media=False)
+    mgr = CheckpointManager(str(tmp_path / "checkpoints"))
+    state = mgr.restore(tr.init_state(
+        tr.model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 2, 2000)), jnp.ones((1,)) * 0.5,
+                      jnp.zeros((1, 1, 2000)))), prefer="latest")
+    # epoch 1 completed one step before the crash
+    assert int(state.step) >= 1
+
+
+def test_bucketed_loader_yield_counts_and_cycling():
+    """yield_counts appends the real item count; remainder fill cycles
+    the real items (even spread) instead of repeating the last."""
+    from ditsep_tpu.data import BucketedLoader, SyntheticMixDataset
+
+    ds = SyntheticMixDataset(n_items=3, min_len_s=0.5, max_len_s=0.5)
+    loader = BucketedLoader(ds, batch_size=4, n_buckets=1,
+                            multiple=2048, shuffle=False,
+                            yield_counts=True)
+    batches = list(loader)
+    assert len(batches) == 1
+    mix, tgt, n_real = batches[0]
+    assert n_real == 3 and mix.shape[0] == 4
+    # 4th row cycles back to item 0, not a repeat of item 2
+    np.testing.assert_allclose(mix[3], mix[0])
+    assert not np.allclose(mix[3], mix[2])
