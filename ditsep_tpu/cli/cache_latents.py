@@ -76,18 +76,24 @@ def main(argv=None):
         return _sample_latents(params, vae_params, k, mix)
 
     done = []
+    base = []
     for i in range(len(ds)):
-        mix, _ = ds[i]
+        mix, tgt = ds[i]  # ONE read: latent and stored targets share
+        # the exact same random crop (random-cropping datasets re-draw
+        # per access)
         for s in range(args.n_samples_per_item):
             key, sub = jax.random.split(key)
             lat = sample_latents(sub, jnp.asarray(mix[None]))
             save_latent_cache(args.out_dir,
                               i * args.n_samples_per_item + s,
-                              np.asarray(lat[0]))
+                              np.asarray(lat[0]), targets=tgt)
             done.append(i * args.n_samples_per_item + s)
+            base.append(i)
         if i % 10 == 0:  # restart-safe metadata (reference: ldm.py:378-382)
-            save_latent_metadata(args.out_dir, done)
-    save_latent_metadata(args.out_dir, done)
+            save_latent_metadata(args.out_dir, done,
+                                 extra={"base_indices": base})
+    save_latent_metadata(args.out_dir, done,
+                         extra={"base_indices": base})
     print(f"cached {len(done)} latents to {args.out_dir}")
 
 

@@ -19,10 +19,17 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def save_latent_cache(out_dir: str, index: int, latent: np.ndarray) -> None:
+def save_latent_cache(out_dir: str, index: int, latent: np.ndarray,
+                      targets: Optional[np.ndarray] = None) -> None:
+    """Store one cached latent; pass ``targets`` (n_src, T) to pin the
+    EXACT waveform crop the latent was encoded from — random-cropping
+    datasets re-draw their crop on every access, so re-reading the base
+    dataset later would pair the latent with a different crop."""
     Path(out_dir).mkdir(parents=True, exist_ok=True)
-    np.savez(os.path.join(out_dir, f"latent_{index:06d}.npz"),
-             latent=np.asarray(latent, np.float32))
+    arrays = {"latent": np.asarray(latent, np.float32)}
+    if targets is not None:
+        arrays["targets"] = np.asarray(targets, np.float32)
+    np.savez(os.path.join(out_dir, f"latent_{index:06d}.npz"), **arrays)
 
 
 def save_latent_metadata(out_dir: str, indices, extra: Optional[dict] = None):
@@ -46,6 +53,12 @@ class LatentDataset:
     def __post_init__(self):
         meta = np.load(os.path.join(self.cache_dir, "metadata.npz"))
         self.indices = meta["indices"]
+        # cache index -> source item (n_samples_per_item > 1 writes
+        # several cache entries per source item; without this map the
+        # fallback target lookup would index the base dataset with
+        # cache indices — wrong items or IndexError)
+        self.base_indices = (meta["base_indices"]
+                             if "base_indices" in meta else self.indices)
         self._cache: dict = {}
 
     def __len__(self):
@@ -54,11 +67,16 @@ class LatentDataset:
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         idx = int(self.indices[i])
         if i in self._cache:
-            latent = self._cache[i]
+            latent, tgt = self._cache[i]
         else:
-            latent = np.load(os.path.join(
-                self.cache_dir, f"latent_{idx:06d}.npz"))["latent"]
+            data = np.load(os.path.join(
+                self.cache_dir, f"latent_{idx:06d}.npz"))
+            latent = data["latent"]
+            # prefer the crop stored WITH the latent (exact supervision);
+            # fall back to re-reading the base dataset for old caches
+            tgt = data["targets"] if "targets" in data else None
             if len(self._cache) < self.cache_size:
-                self._cache[i] = latent
-        _, tgt = self.base_dataset[idx]
+                self._cache[i] = (latent, tgt)
+        if tgt is None:
+            _, tgt = self.base_dataset[int(self.base_indices[i])]
         return tgt, latent

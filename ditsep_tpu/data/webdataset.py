@@ -84,6 +84,10 @@ class S3DatasetConfig:
             raise RuntimeError(
                 "S3 dataset configured but the aws CLI is not installed "
                 "in this image") from e
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"aws s3 ls {self.s3_path!r} failed "
+                f"(exit {res.returncode}): {res.stderr.strip()[:500]}")
         bucket = self.s3_path.split("/")[2]
         return sorted(
             f"s3://{bucket}/" + line.split()[-1]
@@ -91,13 +95,19 @@ class S3DatasetConfig:
             if line.strip().endswith(".tar"))
 
 
-def _open_shard(url: str):
-    """File object for a shard path/URL (gopen equivalent)."""
+def _open_shard(url: str, profile: Optional[str] = None):
+    """(file object, Popen-or-None) for a shard path/URL (gopen
+    equivalent). The caller must wait() the process after closing the
+    stream (zombie reaping + surfacing download failures)."""
     if url.startswith("s3://"):
-        proc = subprocess.Popen(["aws", "s3", "cp", url, "-"],
-                                stdout=subprocess.PIPE)
-        return proc.stdout
-    return open(url, "rb")
+        cmd = ["aws"]
+        if profile:
+            cmd += ["--profile", profile]
+        proc = subprocess.Popen(cmd + ["s3", "cp", url, "-"],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE)
+        return proc.stdout, proc
+    return open(url, "rb"), None
 
 
 def _decode_audio(name: str, payload: bytes):
@@ -123,10 +133,13 @@ def _decode_audio(name: str, payload: bytes):
         "(flac/mp3 decoders are not installed)")
 
 
-def iter_tar_samples(url: str) -> Iterator[Dict]:
+def iter_tar_samples(url: str, profile: Optional[str] = None
+                     ) -> Iterator[Dict]:
     """Yield {'__key__', 'audio', 'sample_rate', 'json'} dicts from one
-    shard, grouping members by basename like webdataset does."""
-    fileobj = _open_shard(url)
+    shard, grouping members by basename like webdataset does. A .txt
+    member lands under json['caption'] WITHOUT clobbering a .json
+    member's other fields (and vice versa)."""
+    fileobj, proc = _open_shard(url, profile)
     try:
         with tarfile.open(fileobj=fileobj, mode="r|*") as tf:
             cur_key = None
@@ -149,9 +162,13 @@ def iter_tar_samples(url: str) -> Iterator[Dict]:
                     cur["audio"] = audio
                     cur["sample_rate"] = fs
                 elif ext == ".json":
-                    cur["json"] = json.loads(payload.decode("utf-8"))
+                    merged = dict(cur.get("json") or {})
+                    merged.update(json.loads(payload.decode("utf-8")))
+                    cur["json"] = merged
                 elif ext == ".txt":
-                    cur["json"] = {"caption": payload.decode("utf-8")}
+                    merged = dict(cur.get("json") or {})
+                    merged.setdefault("caption", payload.decode("utf-8"))
+                    cur["json"] = merged
             if cur and "audio" in cur:
                 yield cur
     finally:
@@ -159,6 +176,20 @@ def iter_tar_samples(url: str) -> Iterator[Dict]:
             fileobj.close()
         except Exception:
             pass
+        if proc is not None:
+            # reap the aws child (zombies otherwise accumulate over an
+            # epoch of shards) and surface download failures that tar
+            # reports only as an opaque truncation
+            try:
+                err = (proc.stderr.read() or b"").decode(
+                    "utf-8", "replace") if proc.stderr else ""
+                rc = proc.wait(timeout=30)
+                if rc != 0:
+                    import warnings
+                    warnings.warn(f"aws s3 cp {url!r} exited {rc}: "
+                                  f"{err.strip()[:300]}", stacklevel=2)
+            except Exception:
+                proc.kill()
 
 
 def _resample(audio: np.ndarray, fs: int, target: int) -> np.ndarray:
@@ -196,8 +227,11 @@ class WebDatasetDataLoader:
 
     def _my_shards(self) -> List[str]:
         urls: List[str] = []
+        self._url_cfg = {}
         for c in self.configs:
-            urls.extend(c.shard_urls())
+            for u in c.shard_urls():
+                urls.append(u)
+                self._url_cfg[u] = c
         if not urls:
             raise FileNotFoundError("no .tar shards found")
         # disjoint slice per host (jax process) -- the pjit analogue of
@@ -210,19 +244,28 @@ class WebDatasetDataLoader:
         return urls[rank::world] or urls[:1]
 
     def _sample_stream(self) -> Iterator[Dict]:
-        rng = random.Random(self.seed)
+        # mix the epoch counter into the seed: a fresh __iter__ must not
+        # replay the identical shard order / shuffle / crops every epoch
+        rng = random.Random(self.seed * 1_000_003 + self._epoch)
         shards = self._my_shards()
         while True:
             order = ([rng.choice(shards) for _ in shards]
                      if self.resampled_shards
                      else rng.sample(shards, len(shards)))
             for url in order:
-                yield from iter_tar_samples(url)
+                cfg = self._url_cfg.get(url)
+                profile = getattr(cfg, "profile", None)
+                fn = getattr(cfg, "custom_metadata_fn", None)
+                for sample in iter_tar_samples(url, profile=profile):
+                    if fn is not None:
+                        sample["__custom_fn__"] = fn
+                    yield sample
             if not self.resampled_shards:
                 return
 
     def __iter__(self):
-        rng = np.random.default_rng(self.seed)
+        self._epoch = getattr(self, "_epoch", -1) + 1
+        rng = np.random.default_rng((self.seed, self._epoch))
         pad_crop = PadCropNormalized(self.sample_size,
                                      randomize=self.random_crop)
         buf: List[Dict] = []
@@ -249,6 +292,13 @@ class WebDatasetDataLoader:
             meta["seconds_start"] = rel_start * total / self.sample_rate
             meta["seconds_total"] = total / self.sample_rate
             meta["__key__"] = sample.get("__key__")
+            fn = sample.get("__custom_fn__")
+            if fn is not None:
+                # per-config metadata hook (reference: dataset.py
+                # custom_metadata_fn(info, audio) merged into info)
+                extra = fn(meta, audio)
+                if extra:
+                    meta.update(extra)
             return np.asarray(cropped, np.float32), meta
 
         for sample in stream:

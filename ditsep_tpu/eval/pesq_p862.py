@@ -424,6 +424,12 @@ def pesq_raw(ref: np.ndarray, deg: np.ndarray, fs: int,
             chunks = df[None, :]
         else:
             starts = np.arange(0, len(df) - win + 1, win // 2)
+            if starts[-1] + win < len(df):
+                # right-aligned tail window so trailing frames (up to 9)
+                # still enter the aggregation — distortion confined to
+                # the end of an utterance must not vanish (the ITU Lpq
+                # includes a clipped partial last interval)
+                starts = np.append(starts, len(df) - win)
             chunks = np.stack([df[s:s + win] for s in starts])
         l6 = (np.mean(chunks ** 6.0, axis=1)) ** (1.0 / 6.0)
         return float(np.sqrt(np.mean(l6 ** 2)))

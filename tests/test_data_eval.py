@@ -532,3 +532,40 @@ def test_wss_narrow_bands_weighted_up():
     import ditsep_tpu.eval.composite as comp
     src = open(comp.__file__).read()
     assert "np.log(_BANDWIDTH[0]) - np.log(bw[i])" in src
+
+
+def test_latent_cache_stores_crop_consistent_targets(tmp_path):
+    """The cache stores the exact target crop encoded into each latent:
+    random-cropping datasets re-draw per access, so pairing latents with
+    fresh reads would supervise the decoder with a DIFFERENT crop. Also:
+    n_samples_per_item>1 cache indices must map back to the right
+    source item."""
+    from ditsep_tpu.data import LatentDataset
+
+    rng = np.random.default_rng(0)
+    tgts = [rng.standard_normal((2, 50)).astype(np.float32)
+            for _ in range(3)]
+
+    class FlakyDataset:
+        """Returns DIFFERENT data on every access (worst-case crop)."""
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return np.zeros((1, 50), np.float32), \
+                rng.standard_normal((2, 50)).astype(np.float32)
+
+    # two cache entries per item (n_samples_per_item=2 layout)
+    for i in range(3):
+        for s in range(2):
+            save_latent_cache(str(tmp_path), i * 2 + s,
+                              np.full((2, 4, 5), i, np.float32),
+                              targets=tgts[i])
+    save_latent_metadata(str(tmp_path), range(6),
+                         extra={"base_indices": [0, 0, 1, 1, 2, 2]})
+    lds = LatentDataset(str(tmp_path), FlakyDataset())
+    assert len(lds) == 6
+    for j in range(6):
+        tgt, lat = lds[j]
+        np.testing.assert_array_equal(tgt, tgts[j // 2])  # stored crop
+        assert float(lat[0, 0, 0]) == j // 2  # right item's latent
