@@ -27,9 +27,10 @@ class FourierFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # trainable, exactly like the reference's nn.Parameter
+        # (reference: blocks.py:85-94)
         w = self.param("weight", nn.initializers.normal(self.std),
                        (self.out_features // 2, x.shape[-1]))
-        w = jax.lax.stop_gradient(w)
         f = 2 * math.pi * x @ w.T
         return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
 
@@ -65,63 +66,103 @@ class DiffusionTransformer(nn.Module):
     diffusion_objective: str = "v"
     qk_norm: str = "none"
     sliding_window: Tuple[int, int] = (-1, -1)
+    # REFERENCE QUIRK: the reference accepts cross_attn_cond_mask /
+    # prepend_cond_mask / mask but none of them ever reach the attention
+    # kernels — dit.py:306-309 hard-disables the cross-attn mask, and
+    # ContinuousTransformer.forward builds the combined prepend+input key
+    # mask then drops it on the floor (transformer.py:885-889 forwards
+    # only rotary_pos_emb/global_cond to the layers). Every shipped
+    # stable-audio checkpoint was trained that way, so mask-ignoring is
+    # the parity default; apply_cond_masks=True enables real key masking
+    # (our ContinuousTransformer supports it) for NEW trainings.
+    apply_cond_masks: bool = False
     dtype: Any = None
 
     def __call__(self, x: Array, t: Array, *,
                  cross_attn_cond: Optional[Array] = None,
                  cross_attn_cond_mask: Optional[Array] = None,
                  negative_cross_attn_cond: Optional[Array] = None,
+                 negative_cross_attn_mask: Optional[Array] = None,
                  input_concat_cond: Optional[Array] = None,
                  global_embed: Optional[Array] = None,
                  prepend_cond: Optional[Array] = None,
                  prepend_cond_mask: Optional[Array] = None,
                  cfg_scale: float = 1.0,
                  cfg_dropout_prob: float = 0.0,
+                 cfg_interval: Tuple[float, float] = (0.0, 1.0),
                  scale_phi: float = 0.0,
                  mask: Optional[Array] = None,
                  rngs_key: Optional[Array] = None) -> Array:
-        if cfg_dropout_prob > 0.0 and rngs_key is not None \
-                and cross_attn_cond is not None:
-            # CFG dropout: null out conditioning rows at random
-            # (reference: dit.py CFG-dropout branch)
-            keep = jax.random.uniform(
-                rngs_key, (x.shape[0], 1, 1)) >= cfg_dropout_prob
-            cross_attn_cond = jnp.where(keep, cross_attn_cond, 0.0)
+        if cfg_dropout_prob > 0.0 and rngs_key is not None:
+            # CFG dropout: null out conditioning rows at random, with an
+            # independent draw for cross-attn and prepend conditioning
+            # (reference: dit.py:312-323 draws a fresh bernoulli per kind)
+            k_cross, k_prep = jax.random.split(rngs_key)
+            if cross_attn_cond is not None:
+                keep = jax.random.uniform(
+                    k_cross, (x.shape[0], 1, 1)) >= cfg_dropout_prob
+                cross_attn_cond = jnp.where(keep, cross_attn_cond, 0.0)
+            if prepend_cond is not None:
+                keep = jax.random.uniform(
+                    k_prep, (x.shape[0], 1, 1)) >= cfg_dropout_prob
+                prepend_cond = jnp.where(keep, prepend_cond, 0.0)
 
+        # CFG triggers on cross-attn / prepend conditioning only — a bare
+        # global embed runs the plain conditioned pass (reference:
+        # dit.py:333; the uncond half REUSES the global embed rather than
+        # nulling it, dit.py:337-341)
         if cfg_scale != 1.0 and (cross_attn_cond is not None
-                                 or prepend_cond is not None
-                                 or global_embed is not None):
+                                 or prepend_cond is not None):
             # batched CFG: run cond and uncond in one doubled batch
             # (reference: dit.py:330-420)
             def dbl(a):
                 return None if a is None else jnp.concatenate([a, a], 0)
 
-            null_cross = (negative_cross_attn_cond
-                          if negative_cross_attn_cond is not None
-                          else (jnp.zeros_like(cross_attn_cond)
-                                if cross_attn_cond is not None else None))
+            null_cross = None
+            if cross_attn_cond is not None:
+                if negative_cross_attn_cond is not None:
+                    null_cross = negative_cross_attn_cond
+                    if negative_cross_attn_mask is not None:
+                        # masked-out negative tokens fall back to the null
+                        # (zero) embed (reference: dit.py:348-355)
+                        null_cross = jnp.where(
+                            negative_cross_attn_mask[..., None].astype(bool),
+                            null_cross, 0.0)
+                else:
+                    null_cross = jnp.zeros_like(cross_attn_cond)
             cc = (jnp.concatenate([cross_attn_cond, null_cross], 0)
                   if cross_attn_cond is not None else None)
             pc = (jnp.concatenate(
                 [prepend_cond, jnp.zeros_like(prepend_cond)], 0)
                 if prepend_cond is not None else None)
-            ge = (jnp.concatenate(
-                [global_embed, jnp.zeros_like(global_embed)], 0)
-                if global_embed is not None else None)
             out = self._forward(
                 dbl(x), dbl(t), cross_attn_cond=cc,
                 cross_attn_cond_mask=dbl(cross_attn_cond_mask),
-                input_concat_cond=dbl(input_concat_cond), global_embed=ge,
+                input_concat_cond=dbl(input_concat_cond),
+                global_embed=dbl(global_embed),
                 prepend_cond=pc, prepend_cond_mask=dbl(prepend_cond_mask),
                 mask=dbl(mask))
             cond_out, uncond_out = jnp.split(out, 2, axis=0)
             cfg_out = uncond_out + (cond_out - uncond_out) * cfg_scale
-            if scale_phi > 0.0:
-                cond_std = jnp.std(cond_out, axis=(1, 2), keepdims=True)
-                cfg_std = jnp.std(cfg_out, axis=(1, 2), keepdims=True)
+            if scale_phi != 0.0:
+                # rescale std over the CHANNEL axis only (reference:
+                # dit.py:404-406 std(dim=1, keepdim=True) on (B, C, T))
+                cond_std = jnp.std(cond_out, axis=1, keepdims=True)
+                cfg_std = jnp.std(cfg_out, axis=1, keepdims=True)
                 rescaled = cfg_out * (cond_std / jnp.clip(cfg_std,
                                                           min=1e-8))
-                return scale_phi * rescaled + (1 - scale_phi) * cfg_out
+                cfg_out = scale_phi * rescaled + (1 - scale_phi) * cfg_out
+            if tuple(cfg_interval) != (0.0, 1.0):
+                # guidance only while sigma(t[0]) is inside the interval;
+                # outside it the plain conditioned output passes through
+                # (reference: dit.py:326-333). cond_out is already
+                # computed in the doubled batch, so the gate is a free
+                # select — no data-dependent control flow under jit.
+                sigma = (jnp.sin(t[0] * math.pi / 2)
+                         if self.diffusion_objective == "v" else t[0])
+                in_int = ((cfg_interval[0] <= sigma)
+                          & (sigma <= cfg_interval[1]))
+                cfg_out = jnp.where(in_int, cfg_out, cond_out)
             return cfg_out
         return self._forward(
             x, t, cross_attn_cond=cross_attn_cond,
@@ -177,11 +218,15 @@ class DiffusionTransformer(nn.Module):
                 prepend_inputs = ge
                 prepend_mask = jnp.ones((x.shape[0], 1), bool)
             else:
+                # prepend_cond without a mask means all-valid (the
+                # reference CRASHES here — dit.py:210 cat(None, ones) —
+                # so prepend_cond_mask is effectively mandatory there;
+                # we accept the omission)
+                if prepend_mask is None:
+                    prepend_mask = jnp.ones(prepend_inputs.shape[:2], bool)
                 prepend_inputs = jnp.concatenate([prepend_inputs, ge], 1)
                 prepend_mask = jnp.concatenate(
-                    [prepend_mask if prepend_mask is not None
-                     else jnp.ones(prepend_inputs.shape[:2], bool),
-                     jnp.ones((x.shape[0], 1), bool)], axis=1)
+                    [prepend_mask, jnp.ones((x.shape[0], 1), bool)], axis=1)
             prepend_length = prepend_inputs.shape[1]
             adaln_cond = None
         else:  # adaLN
@@ -199,6 +244,12 @@ class DiffusionTransformer(nn.Module):
             b, tt, c = x.shape
             x = x.reshape(b, tt // self.patch_size, c * self.patch_size)
 
+        if not self.apply_cond_masks:
+            # parity default: masks never reach the kernels (see the
+            # apply_cond_masks field comment for the reference citations)
+            prepend_mask = None
+            cross_attn_cond_mask = None
+            mask = None
         out = ContinuousTransformer(
             dim=embed_dim, depth=self.depth,
             dim_heads=embed_dim // self.num_heads,

@@ -411,3 +411,110 @@ def import_dau1d_params(state_dict, depth: int, n_attn_layers: int):
     if depth > 1:
         params["inner"] = level("net.3", 2)
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# DiT (stable-audio DiffusionTransformer, continuous_transformer) importer
+# --------------------------------------------------------------------------
+def import_dit_params(state_dict, depth: int):
+    """Map a reference DiffusionTransformer state_dict (reference:
+    src/stable_audio_tools/models/dit.py:12-180 with
+    transformer_type='continuous_transformer', src/stable_audio_tools/
+    models/transformer.py:637-899) onto our models.dit param tree.
+
+    Covers the optional submodules by key presence: to_cond_embed /
+    to_global_embed / to_prepend_embed MLPs, the adaLN global_cond_embedder
+    (-> transformer/global_embed_{in,out}), per-layer cross-attention,
+    to_scale_shift_gate, and qk layernorms. The reference LayerNorm keeps
+    beta as a zero buffer (transformer.py:177-198); it maps onto our flax
+    LayerNorm bias directly.
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def lin(k):  # torch Linear (out, in) -> flax kernel (in, out)
+        return sd[k].T
+
+    def conv1(k):  # torch Conv1d (out, in, 1) -> flax (1, in, out)
+        return np.transpose(sd[k], (2, 1, 0))
+
+    def mlp(pt, bias):
+        out = {"dense_0": {"kernel": lin(f"{pt}.0.weight")},
+               "dense_1": {"kernel": lin(f"{pt}.2.weight")}}
+        if bias:
+            out["dense_0"]["bias"] = sd[f"{pt}.0.bias"]
+            out["dense_1"]["bias"] = sd[f"{pt}.2.bias"]
+        return out
+
+    def norm(pt):
+        g = sd[f"{pt}.gamma"]
+        return {"scale": g, "bias": sd.get(f"{pt}.beta", np.zeros_like(g))}
+
+    p = {
+        "timestep_features": {"weight": sd["timestep_features.weight"]},
+        "to_timestep_embed": mlp("to_timestep_embed", True),
+        "preprocess_conv": {"kernel": conv1("preprocess_conv.weight")},
+        "postprocess_conv": {"kernel": conv1("postprocess_conv.weight")},
+    }
+    for name in ("to_cond_embed", "to_global_embed", "to_prepend_embed"):
+        if f"{name}.0.weight" in sd:
+            p[name] = mlp(name, False)
+
+    tr = {
+        "project_in": {"kernel": lin("transformer.project_in.weight")},
+        "project_out": {"kernel": lin("transformer.project_out.weight")},
+    }
+    if "transformer.global_cond_embedder.0.weight" in sd:
+        tr["global_embed_in"] = {
+            "kernel": lin("transformer.global_cond_embedder.0.weight"),
+            "bias": sd["transformer.global_cond_embedder.0.bias"]}
+        tr["global_embed_out"] = {
+            "kernel": lin("transformer.global_cond_embedder.2.weight"),
+            "bias": sd["transformer.global_cond_embedder.2.bias"]}
+
+    for i in range(depth):
+        b = f"transformer.layers.{i}"
+        self_attn = {
+            "to_qkv": {"kernel": lin(f"{b}.self_attn.to_qkv.weight")},
+            "to_out": {"kernel": lin(f"{b}.self_attn.to_out.weight")},
+        }
+        if f"{b}.self_attn.q_norm.weight" in sd:
+            self_attn["q_norm"] = {
+                "scale": sd[f"{b}.self_attn.q_norm.weight"],
+                "bias": sd[f"{b}.self_attn.q_norm.bias"]}
+            self_attn["k_norm"] = {
+                "scale": sd[f"{b}.self_attn.k_norm.weight"],
+                "bias": sd[f"{b}.self_attn.k_norm.bias"]}
+        layer = {
+            "pre_norm": norm(f"{b}.pre_norm"),
+            "ff_norm": norm(f"{b}.ff_norm"),
+            "self_attn": self_attn,
+            "ff": {
+                "proj_in": {"kernel": lin(f"{b}.ff.ff.0.proj.weight"),
+                            "bias": sd[f"{b}.ff.ff.0.proj.bias"]},
+                "proj_out": {"kernel": lin(f"{b}.ff.ff.2.weight"),
+                             "bias": sd[f"{b}.ff.ff.2.bias"]},
+            },
+        }
+        if f"{b}.cross_attn.to_q.weight" in sd:
+            layer["cross_attend_norm"] = norm(f"{b}.cross_attend_norm")
+            cross = {
+                "to_q": {"kernel": lin(f"{b}.cross_attn.to_q.weight")},
+                "to_kv": {"kernel": lin(f"{b}.cross_attn.to_kv.weight")},
+                "to_out": {"kernel": lin(f"{b}.cross_attn.to_out.weight")},
+            }
+            if f"{b}.cross_attn.q_norm.weight" in sd:
+                cross["q_norm"] = {
+                    "scale": sd[f"{b}.cross_attn.q_norm.weight"],
+                    "bias": sd[f"{b}.cross_attn.q_norm.bias"]}
+                cross["k_norm"] = {
+                    "scale": sd[f"{b}.cross_attn.k_norm.weight"],
+                    "bias": sd[f"{b}.cross_attn.k_norm.bias"]}
+            layer["cross_attn"] = cross
+        if f"{b}.to_scale_shift_gate" in sd:
+            layer["to_scale_shift_gate"] = sd[f"{b}.to_scale_shift_gate"]
+        tr[f"layer_{i}"] = layer
+
+    p["transformer"] = tr
+    return {"params": p}

@@ -217,9 +217,15 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], -1)
-        return nn.Dense(self.dim_out or self.dim, use_bias=False,
-                        kernel_init=out_init,
-                        name="to_out", dtype=self.dtype)(out)
+        out = nn.Dense(self.dim_out or self.dim, use_bias=False,
+                       kernel_init=out_init,
+                       name="to_out", dtype=self.dtype)(out)
+        if mask is not None and self.dim_context is None:
+            # self-attention also zeroes the branch output at masked QUERY
+            # positions (reference: transformer.py:594-596 masked_fill on
+            # `mask`, which cross-attn calls never pass)
+            out = jnp.where(mask[:, :, None], out, 0.0)
+        return out
 
 
 class ConformerModule(nn.Module):
