@@ -93,7 +93,12 @@ class DiffusionTransformer(nn.Module):
                  scale_phi: float = 0.0,
                  mask: Optional[Array] = None,
                  rngs_key: Optional[Array] = None) -> Array:
-        if cfg_dropout_prob > 0.0 and rngs_key is not None:
+        if cfg_dropout_prob > 0.0:
+            if rngs_key is None:
+                raise ValueError(
+                    "cfg_dropout_prob > 0 requires rngs_key — training "
+                    "without it would silently skip conditioning dropout "
+                    "and degrade CFG")
             # CFG dropout: null out conditioning rows at random, with an
             # independent draw for cross-attn and prepend conditioning
             # (reference: dit.py:312-323 draws a fresh bernoulli per kind)
@@ -152,18 +157,22 @@ class DiffusionTransformer(nn.Module):
                 rescaled = cfg_out * (cond_std / jnp.clip(cfg_std,
                                                           min=1e-8))
                 cfg_out = scale_phi * rescaled + (1 - scale_phi) * cfg_out
-            if tuple(cfg_interval) != (0.0, 1.0):
-                # guidance only while sigma(t[0]) is inside the interval;
-                # outside it the plain conditioned output passes through
-                # (reference: dit.py:326-333). cond_out is already
-                # computed in the doubled batch, so the gate is a free
-                # select — no data-dependent control flow under jit.
-                sigma = (jnp.sin(t[0] * math.pi / 2)
-                         if self.diffusion_objective == "v" else t[0])
-                in_int = ((cfg_interval[0] <= sigma)
-                          & (sigma <= cfg_interval[1]))
-                cfg_out = jnp.where(in_int, cfg_out, cond_out)
-            return cfg_out
+            # guidance only while sigma(t[0]) is inside the interval;
+            # outside it the plain conditioned output passes through
+            # (reference: dit.py:326-333 always performs this compare, so
+            # we do too — for t outside [0,1] (rectified-flow extensions)
+            # even the default (0.0, 1.0) interval can gate off). cond_out
+            # is already computed in the doubled batch, so the gate is a
+            # free select — no data-dependent control flow under jit; the
+            # jit trade-off is that gated-off steps still pay the doubled
+            # batch (2x the reference's cost on steps outside the
+            # interval), which only matters for samplers that spend most
+            # steps outside it.
+            sigma = (jnp.sin(t[0] * math.pi / 2)
+                     if self.diffusion_objective == "v" else t[0])
+            in_int = ((cfg_interval[0] <= sigma)
+                      & (sigma <= cfg_interval[1]))
+            return jnp.where(in_int, cfg_out, cond_out)
         return self._forward(
             x, t, cross_attn_cond=cross_attn_cond,
             cross_attn_cond_mask=cross_attn_cond_mask,
