@@ -90,6 +90,34 @@ def add_common_args(p: argparse.ArgumentParser):
     return p
 
 
+def add_train_args(p: argparse.ArgumentParser):
+    """Flags shared by the diffsep-family train entries (reference
+    equivalents: resume_from_checkpoint src/train_diffsep.py:174-180;
+    demo callbacks src/ldm.py:630-726 LDMDemoCallback)."""
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's rolling latest "
+                        "checkpoint (fresh start if none exists)")
+    p.add_argument("--demo-every", type=int, default=0,
+                   help="log demo separations (mix/est/target wavs) "
+                        "every N steps (0 = off)")
+    return p
+
+
+def make_demo_callbacks(dataset, demo_every: int, fs: int = 8000,
+                        n_items: int = 2):
+    """SeparationDemoCallback over the first `n_items` of `dataset`,
+    for training.loop.fit(callbacks=...). Returns () when disabled."""
+    if not demo_every or dataset is None or len(dataset) == 0:
+        return ()
+    from ditsep_tpu.data.wsj0_mix import max_collator
+    from ditsep_tpu.training.demo import SeparationDemoCallback
+
+    items = [dataset[i] for i in range(min(n_items, len(dataset)))]
+    return (SeparationDemoCallback(
+        demo_batch=max_collator(items), demo_every=demo_every,
+        sample_rate=fs),)
+
+
 def init_or_load_score_params(trainer, n_src: int, t_len: int,
                               params_npz: Optional[str] = None,
                               seed: int = 0):

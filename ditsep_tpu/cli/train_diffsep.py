@@ -8,13 +8,16 @@ from __future__ import annotations
 
 import argparse
 
-from ditsep_tpu.cli.common import add_common_args, load_config, make_dataset
+from ditsep_tpu.cli.common import (add_common_args, add_train_args,
+                                   load_config, make_dataset,
+                                   make_demo_callbacks)
 from ditsep_tpu.configs import build_diffsep_trainer
 from ditsep_tpu.training.loop import fit
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p = add_train_args(add_common_args(
+        argparse.ArgumentParser(description=__doc__)))
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
@@ -32,12 +35,14 @@ def main(argv=None):
         mesh = make_mesh()
 
     batch_size = args.batch_size or cfg["datamodule"]["train"]["batch_size"]
+    fs = cfg["datamodule"].get("fs", 8000)
     fit(trainer, train_ds, val_ds, workdir=args.workdir,
         max_epochs=args.max_epochs or cfg["trainer"].get("max_epochs", 1000),
         batch_size=batch_size, mesh=mesh, seed=args.seed,
         valid_max_sep_batches=cfg["model"].get("valid_max_sep_batches", 2),
-        max_steps=args.max_steps,
-        media_fs=cfg["datamodule"].get("fs", 8000))
+        max_steps=args.max_steps, resume=args.resume,
+        callbacks=make_demo_callbacks(val_ds, args.demo_every, fs=fs),
+        media_fs=fs)
 
 
 if __name__ == "__main__":

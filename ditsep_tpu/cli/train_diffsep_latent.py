@@ -14,7 +14,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ditsep_tpu.cli.common import add_common_args, load_config, make_dataset
+from ditsep_tpu.cli.common import (add_common_args, add_train_args,
+                                   load_config, make_dataset,
+                                   make_demo_callbacks)
 from ditsep_tpu.configs import build_latent_trainer
 from ditsep_tpu.training.loop import fit
 
@@ -47,6 +49,13 @@ class _VAEBoundTrainer:
         return self.trainer.val_metrics_latent(
             params, self.vae_params, key, batch, **kw)
 
+    def separate(self, params, key, mix, **kw):
+        """Waveform-level separation (encode -> latent PC -> decode), so
+        SeparationDemoCallback works on the latent family too."""
+        return self.trainer.separate_latent(
+            params, self.vae_params, key, mix,
+            target_dim=mix.shape[-1], **kw)
+
 
 def init_vae_params(trainer, vae_params_path, key):
     example = jnp.zeros((1, 1, trainer.vae.downsampling_ratio * 4))
@@ -59,7 +68,8 @@ def init_vae_params(trainer, vae_params_path, key):
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser(description=__doc__))
+    p = add_train_args(add_common_args(
+        argparse.ArgumentParser(description=__doc__)))
     p.set_defaults(config="latent_diffsep_ouve")
     p.add_argument("--vae-params", default=None,
                    help="npz with OobleckVAE params")
@@ -90,12 +100,14 @@ def main(argv=None):
         key, tgt_lat, jnp.full((1,), 0.5), mix_lat)
 
     batch_size = args.batch_size or cfg["datamodule"]["train"]["batch_size"]
+    fs = cfg["datamodule"].get("fs", 8000)
     fit(bound, train_ds, val_ds, workdir=args.workdir,
         max_epochs=args.max_epochs or 1000, batch_size=batch_size,
         mesh=mesh, seed=args.seed,
         valid_max_sep_batches=cfg["model"].get("valid_max_sep_batches", 2),
-        max_steps=args.max_steps, init_params=params,
-        media_fs=cfg["datamodule"].get("fs", 8000))
+        max_steps=args.max_steps, init_params=params, resume=args.resume,
+        callbacks=make_demo_callbacks(val_ds, args.demo_every, fs=fs),
+        media_fs=fs)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,13 @@ def main(argv=None):
     p.add_argument("--latent-cache", required=True,
                    help="latent cache dir (see cli.cache_latents)")
     p.add_argument("--use-disc", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's rolling latest "
+                        "checkpoint (fresh start if none exists)")
+    p.add_argument("--demo-every", type=int, default=0,
+                   help="log demo decodes (est/target wavs through the "
+                        "live decoder) every N steps; the reference's "
+                        "LDMDemoCallback analogue (src/ldm.py:630-726)")
     args = p.parse_args(argv)
     if args.cpu:
         from ditsep_tpu.cli.common import force_cpu
@@ -75,6 +82,33 @@ def main(argv=None):
     ckpt = CheckpointManager(f"{args.workdir}/checkpoints",
                              monitor="train/loss", mode="min",
                              save_top_k=5)
+    if args.resume:
+        try:
+            state = ckpt.restore(state, prefer="latest")
+            print(f"[train_ldm] resumed at step {int(state.step)}")
+        except FileNotFoundError:
+            pass
+
+    demo_batch = None
+    if args.demo_every:
+        # fixed demo batch: the cached separated latents decoded through
+        # the LIVE decoder, logged against the clean targets — the
+        # decoder-finetune-time view of the reference's LDMDemoCallback
+        # (src/ldm.py:630-726 logs mix/est/target media)
+        d_tgt, d_lat = ds[0]
+        demo_batch = (jnp.asarray(d_tgt[None]), jnp.asarray(d_lat[None]))
+
+    def run_demo(step):
+        from ditsep_tpu.training.demo import _log_wavs
+        d_tgt, d_lat = demo_batch
+        decoded = ldm.decode_with(frozen_rest, state.decoder_params,
+                                  d_lat, target_dim=d_tgt.shape[-1])
+        fs = cfg["datamodule"].get("fs", 8000)
+        for s in range(decoded.shape[1]):
+            _log_wavs(logger, f"demo/est_{s}", decoded[:, s:s + 1], step,
+                      fs, 2)
+            _log_wavs(logger, f"demo/target_{s}", d_tgt[:, s:s + 1], step,
+                      fs, 2)
 
     gen_step_p = jax.jit(lambda s, fr, l, r, w: ldm.gen_step(
         s, fr, l, r, warmed_up=w), static_argnums=(4,))
@@ -84,7 +118,7 @@ def main(argv=None):
     disc_step = lambda s, l, r: disc_step_p(s, frozen_rest, l, r)
 
     batch_size = args.batch_size or 4
-    step = 0
+    step = int(state.step)  # nonzero after --resume
     max_steps = args.max_steps or 10000
     epoch = 0
     while step < max_steps:
@@ -106,6 +140,11 @@ def main(argv=None):
             step += 1
             if step % 10 == 0:
                 logger.log({k: float(v) for k, v in metrics.items()}, step)
+            if demo_batch is not None and step % args.demo_every == 0:
+                try:  # media must never take down a training run
+                    run_demo(step)
+                except Exception as e:  # pragma: no cover
+                    print(f"[train_ldm] demo failed at step {step}: {e}")
             if step >= max_steps:
                 break
         epoch += 1

@@ -52,15 +52,19 @@ def _bucket_lengths_frames(lengths, frame_spec, max_buckets: int):
     native-length, batch-size-1 evaluation — sample-domain zero padding
     and frame-domain zero padding are the same dilution.
 
-    Returns {index: padded_length}. Distinct padded lengths are capped
-    at `max_buckets` by merging the smallest-count blocks upward (with
-    a warning — merged utterances lose native-equivalence)."""
+    Returns ({index: padded_length}, merged_indices). Distinct padded
+    lengths are capped at `max_buckets` by merging the smallest-count
+    blocks upward; `merged_indices` lists the utterances whose padding
+    crossed their native frame block (they lose native-equivalence, a
+    measured quality cost — surfaced in the result JSON so a merged run
+    is never mistaken for a native-parity one)."""
     n_fft, hop, block = frame_spec
     blocks: Dict[int, list] = {}
     for i, L in enumerate(lengths):
         b = -(-_stft_frames(L, n_fft, hop) // block)
         blocks.setdefault(b, []).append(i)
     native = {i: b for b, idxs in blocks.items() for i in idxs}
+    merged: set = set()
     if len(blocks) > max_buckets:
         # merge smallest-population blocks into the next block up
         # (the largest block has nowhere to go and never merges)
@@ -69,9 +73,9 @@ def _bucket_lengths_frames(lengths, frame_spec, max_buckets: int):
             cand = min(order[:-1], key=lambda b: len(blocks[b]))
             nxt = order[order.index(cand) + 1]
             blocks[nxt] = blocks[nxt] + blocks.pop(cand)
-        moved = sum(1 for b, idxs in blocks.items()
-                    for i in idxs if native[i] != b)
-        print(f"[evaluate] merged {moved} utterances into higher "
+        merged = {i for b, idxs in blocks.items()
+                  for i in idxs if native[i] != b}
+        print(f"[evaluate] merged {len(merged)} utterances into higher "
               f"frame blocks to respect max_buckets={max_buckets}; "
               f"their padded quiet fraction exceeds native eval "
               f"(raise --max-buckets for strict native parity)")
@@ -80,7 +84,7 @@ def _bucket_lengths_frames(lengths, frame_spec, max_buckets: int):
         pad_len = max(lengths[i] for i in idxs)
         for i in idxs:
             out[i] = pad_len
-    return out
+    return out, merged
 
 
 def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
@@ -96,8 +100,9 @@ def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
     few shapes); eval keeps every exact rounded shape while under the
     cap, because padding past an utterance's own frame block costs
     measurable quality (docs/pad_dilution_r03.md)."""
-    rounded = sorted({-(-L // bucket_multiple) * bucket_multiple
-                      for L in lengths})
+    own = {i: -(-L // bucket_multiple) * bucket_multiple
+           for i, L in enumerate(lengths)}
+    rounded = sorted(set(own.values()))
     if len(rounded) > max_buckets:
         by_len = sorted(lengths)
         n = len(by_len)
@@ -116,7 +121,9 @@ def _bucket_lengths(lengths, bucket_multiple: int, max_buckets: int):
     def assign(L):
         return rounded[bisect.bisect_left(rounded, L)]
 
-    return {i: assign(L) for i, L in enumerate(lengths)}
+    out = {i: assign(L) for i, L in enumerate(lengths)}
+    merged = {i for i in out if out[i] > own[i]}
+    return out, merged
 
 
 def _host_fence(est) -> None:
@@ -189,9 +196,11 @@ def evaluate_dataset(
     lengths = ([get_len(i) for i in range(n_items)] if get_len
                else [dataset[i][0].shape[-1] for i in range(n_items)])
     if frame_spec is not None:
-        assigned = _bucket_lengths_frames(lengths, frame_spec, max_buckets)
+        assigned, merged_idx = _bucket_lengths_frames(lengths, frame_spec,
+                                                      max_buckets)
     else:
-        assigned = _bucket_lengths(lengths, bucket_multiple, max_buckets)
+        assigned, merged_idx = _bucket_lengths(lengths, bucket_multiple,
+                                               max_buckets)
     buckets: Dict[int, list] = {}
     for i in range(n_items):
         buckets.setdefault(assigned[i], []).append(i)
@@ -250,7 +259,7 @@ def evaluate_dataset(
                 futures[i] = pool.submit(
                     _metrics_entry, i, np.asarray(mix_b[bi][:, sl]),
                     est[bi][:, sl], np.asarray(tgt_b[bi][:, sl]), fs,
-                    runtime, nfe)
+                    runtime, nfe, i in merged_idx)
                 if out_dir is not None and (i < save_samples
                                             or i < save_figures):
                     _save_media(out_dir, split_name, i,
@@ -264,6 +273,14 @@ def evaluate_dataset(
     pool.shutdown()
 
     summary = _summarize(results)
+    # surface bucket-merge dilution (docs/pad_dilution_r03.md: padding
+    # past an utterance's native frame block measurably costs quality):
+    # a merged run must be distinguishable from a native-parity one in
+    # the artifact itself, not just in stdout
+    summary["merged_utterances"] = len(merged_idx)
+    if merged_idx:
+        summary["merged_indices"] = sorted(int(i) for i in merged_idx
+                                           if i < n_items)
     if out_dir is not None:
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
@@ -299,19 +316,26 @@ def _save_media(out_dir, split_name, idx, mix, est, target, fs,
             pass  # figures must never take down an eval run
 
 
-def _metrics_entry(idx, mix, est, target, fs, runtime, nfe) -> Dict:
+def _metrics_entry(idx, mix, est, target, fs, runtime, nfe,
+                   merged_pad: bool = False) -> Dict:
     m = compute_metrics(est, target, fs=fs)
-    return {
+    out = {
         "batch_idx": idx,
         "si_sdr": [m["si_sdr"]],
         "si_sir": [m["si_sir"]],
         "si_sar": [m["si_sar"]],
-        "pesq": [m["pesq"]],
-        "stoi": [m["stoi"]],
+        "pesq": m["pesq"],  # per-source list (reference schema:
+        "stoi": m["stoi"],  # evaluate_mp.py:183-187 loops over sources)
+        "pesq_impl": m["pesq_impl"],
         "nfe": nfe,
         "runtime": runtime,
         "len_s": target.shape[-1] / fs,
     }
+    if merged_pad:
+        # this utterance was padded past its native frame block to honor
+        # max_buckets — its metrics are NOT native-equivalent
+        out["merged_pad"] = True
+    return out
 
 
 def _summarize(results: Dict[str, Dict]) -> Dict:
@@ -333,4 +357,10 @@ def _summarize(results: Dict[str, Dict]) -> Dict:
     ordered.update({k: out[k] for k in
                     ["si_sdr", "si_sir", "si_sar", "pesq", "stoi", "nfe",
                      "runtime", "len_s", "number"]})
+    # PESQ backend provenance is mandatory in the summary artifact too —
+    # in-repo P.862 numbers must never be mistaken for ITU-PESQ ones
+    impls = {r.get("pesq_impl") for r in results.values()} - {None}
+    if impls:
+        ordered["pesq_impl"] = sorted(impls)[0] if len(impls) == 1 \
+            else sorted(impls)
     return ordered

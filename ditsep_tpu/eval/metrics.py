@@ -46,7 +46,8 @@ def _db(num: float, den: float, eps: float = 1e-10) -> float:
 
 
 def si_bss_eval_sources(
-    ref: np.ndarray, est: np.ndarray
+    ref: np.ndarray, est: np.ndarray, zero_mean: bool = False,
+    clamp_db: float = 100.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Scale-invariant SDR/SIR/SAR with optimal permutation.
 
@@ -57,10 +58,17 @@ def si_bss_eval_sources(
     (perm[j] = index of the estimate matching reference j), so
     per-source lists in results JSON diff directly against the
     reference's artifacts.
+
+    ``zero_mean`` / ``clamp_db`` mirror fast_bss_eval's arguments AND
+    defaults as the reference harness calls them
+    (src/evaluate_mp.py:173-175: zero_mean=False, clamp_db=100): means
+    are NOT subtracted unless asked, and each metric is clamped to
+    [-clamp_db, clamp_db].
     """
     n = ref.shape[0]
-    ref = ref - ref.mean(axis=-1, keepdims=True)
-    est = est - est.mean(axis=-1, keepdims=True)
+    if zero_mean:
+        ref = ref - ref.mean(axis=-1, keepdims=True)
+        est = est - est.mean(axis=-1, keepdims=True)
 
     sdr_mat = np.zeros((n, n))  # [est i, ref j]
     sir_mat = np.zeros((n, n))
@@ -83,8 +91,8 @@ def si_bss_eval_sources(
     # orientation (perm[j] = est matched to ref j, metrics ref-ordered)
     inv = np.argsort(np.asarray(best_perm))
     cols = np.arange(n)
-    return (sdr_mat[inv, cols], sir_mat[inv, cols], sar_mat[inv, cols],
-            inv)
+    clip = lambda m: np.clip(m[inv, cols], -clamp_db, clamp_db)
+    return clip(sdr_mat), clip(sir_mat), clip(sar_mat), inv
 
 
 # ----------------------------------------------------------------- STOI --
@@ -265,10 +273,15 @@ def pesq_metric(ref: np.ndarray, est: np.ndarray, fs: int,
 def compute_metrics(est: np.ndarray, target: np.ndarray,
                     fs: int = 8000) -> Dict[str, object]:
     """Per-utterance metric dict matching the reference's schema
-    (reference: src/evaluate_mp.py:171-189): si_sdr/si_sir/si_sar lists
-    (reference-ordered), mean pesq and estoi over permutation-aligned
-    sources."""
-    sdr, sir, sar, perm = si_bss_eval_sources(target, est)
+    (reference: src/evaluate_mp.py:171-189 and the shipped
+    results/.../librimix_test.json artifacts): si_sdr/si_sir/si_sar
+    AND pesq/stoi are all PER-SOURCE lists (reference-ordered,
+    permutation-aligned) — the reference loops pesq/stoi over sources
+    (evaluate_mp.py:183-187), so artifact diffs need per-source values.
+    si_bss_eval_sources is called with the reference harness's exact
+    arguments (zero_mean=False, clamp_db=100)."""
+    sdr, sir, sar, perm = si_bss_eval_sources(
+        target, est, zero_mean=False, clamp_db=100.0)
     # fast_bss_eval orientation: est[perm] aligns to target
     aligned = est[np.asarray(perm)]
     pesq_vals = [pesq_metric(target[j], aligned[j], fs)
@@ -280,7 +293,7 @@ def compute_metrics(est: np.ndarray, target: np.ndarray,
         "si_sir": [float(v) for v in sir],
         "si_sar": [float(v) for v in sar],
         "perm": [int(v) for v in perm],
-        "pesq": float(np.mean(pesq_vals)),
+        "pesq": [float(v) for v in pesq_vals],
         "pesq_impl": pesq_impl(),
-        "stoi": float(np.mean(stoi_vals)),
+        "stoi": [float(v) for v in stoi_vals],
     }

@@ -98,7 +98,7 @@ class WNConv1d(nn.Module):
             pad = (self.dilation * (k - 1)) // 2
         pad = pad if isinstance(pad, tuple) else (pad, pad)
         y = jax.lax.conv_general_dilated(
-            x, w.astype(dt), window_strides=(self.stride,),
+            x.astype(dt), w.astype(dt), window_strides=(self.stride,),
             padding=[pad], rhs_dilation=(self.dilation,),
             feature_group_count=self.groups,
             dimension_numbers=("NWC", "WIO", "NWC"))
@@ -145,7 +145,7 @@ class WNConvTranspose1d(nn.Module):
         dt = self.dtype or x.dtype
         p = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
-            x, w.astype(dt), window_strides=(1,),
+            x.astype(dt), w.astype(dt), window_strides=(1,),
             padding=[(p, p + self.output_padding)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"))

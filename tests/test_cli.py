@@ -40,6 +40,60 @@ def test_train_diffsep_cli(tmp_path):
     assert os.path.exists(f"{wd}/checkpoints/best-model")
 
 
+def test_train_diffsep_cli_demo_and_resume(tmp_path):
+    """--demo-every logs demo separations mid-run (the reference's
+    LDMDemoCallback capability, src/ldm.py:630-726, surfaced on the
+    diffsep CLI) and --resume continues from the rolling latest
+    checkpoint (reference: src/train_diffsep.py:174-180)."""
+    import glob
+
+    from ditsep_tpu.cli.train_diffsep import main
+    wd = str(tmp_path / "run")
+    base = ["--config", "diffsep", "--synthetic", "--workdir", wd,
+            "--batch-size", "2", "--max-epochs", "4",
+            "--override", *TINY_WAVEFORM]
+    main(base + ["--max-steps", "2", "--demo-every", "2"])
+    # demo artifact: audio summaries in the tensorboard event stream
+    evs = glob.glob(f"{wd}/tb/events*")
+    assert evs, os.listdir(wd)
+    blob = b"".join(open(f, "rb").read() for f in evs)
+    assert b"demo/est_0" in blob and b"demo/mix" in blob
+    assert json.load(
+        open(f"{wd}/checkpoints/latest/step.json"))["step"] == 2
+    # kill/resume: a fresh process continues from the latest checkpoint
+    main(base + ["--max-steps", "4", "--resume"])
+    assert json.load(
+        open(f"{wd}/checkpoints/latest/step.json"))["step"] == 4
+
+
+def test_train_ldm_cli_demo_and_resume(tmp_path):
+    """train_ldm --demo-every decodes the demo latents through the live
+    decoder mid-run; --resume continues the step counter from the
+    latest checkpoint."""
+    import glob
+
+    from ditsep_tpu.cli.cache_latents import main as cache_main
+    from ditsep_tpu.cli.train_ldm import main as ldm_main
+    cache_dir = str(tmp_path / "cache")
+    wd = str(tmp_path / "run")
+    cache_main(["--synthetic", "--out-dir", cache_dir, "--sampler-N", "2",
+                "--override", *TINY_LATENT])
+    base = ["--synthetic", "--workdir", wd, "--latent-cache", cache_dir,
+            "--batch-size", "2", "--override", *TINY_LATENT,
+            "training.loss.spectral.fft_sizes=(256, 128)",
+            "training.loss.spectral.hop_sizes=(64, 32)",
+            "training.loss.spectral.perceptual_weighting=False"]
+    ldm_main(base + ["--max-steps", "2", "--demo-every", "2"])
+    evs = glob.glob(f"{wd}/tb/events*")
+    blob = b"".join(open(f, "rb").read() for f in evs)
+    assert b"demo/est_0" in blob and b"demo/target_0" in blob
+    ldm_main(base + ["--max-steps", "4", "--resume"])
+    # resumed run continued the step counter: a step-4 checkpoint exists
+    assert any("step-00000004" in n
+               for n in os.listdir(f"{wd}/checkpoints")), \
+        os.listdir(f"{wd}/checkpoints")
+
+
 def test_train_diffsep_latent_cli(tmp_path):
     from ditsep_tpu.cli.train_diffsep_latent import main
     wd = str(tmp_path / "run")

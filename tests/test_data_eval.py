@@ -118,11 +118,62 @@ def test_compute_metrics_schema():
     assert set(m) == {"si_sdr", "si_sir", "si_sar", "perm", "pesq",
                       "pesq_impl", "stoi"}
     assert len(m["si_sdr"]) == 2
-    assert np.isnan(m["pesq"]) or m["pesq"] > 0  # pesq pkg optional
+    # pesq/stoi are per-source lists (the reference artifact schema)
+    assert len(m["pesq"]) == 2 and len(m["stoi"]) == 2
+    assert all(np.isnan(v) or v > 0 for v in m["pesq"])  # pkg optional
     assert m["pesq_impl"] in ("itu", "p862_numpy")
 
 
 # ---------------------------------------------------------- eval harness --
+def test_evaluate_dataset_surfaces_merged_dilution(tmp_path):
+    """When --max-buckets forces utterances past their native frame
+    block, the artifact must say so: per-utterance `merged_pad` flags,
+    summary `merged_utterances` count + `merged_indices`, so a merged
+    run is never mistaken for a native-parity one
+    (docs/pad_dilution_r03.md measured the quality cost)."""
+    import json
+
+    import jax.numpy as jnp
+
+    # 3 distinct 64-frame blocks (510/128 grid), cap at 2 -> one merge
+    class _DS:
+        lengths = [8000, 24000, 40000, 8000]
+
+        def __len__(self):
+            return len(self.lengths)
+
+        def item_length(self, i):
+            return self.lengths[i]
+
+        def __getitem__(self, i):
+            t = self.lengths[i]
+            rng = np.random.default_rng(i)
+            tgt = rng.standard_normal((2, t)).astype(np.float32) * 0.1
+            return tgt.sum(0, keepdims=True), tgt
+
+    sep = lambda key, mix: jnp.concatenate([mix * 0.6, mix * 0.4], axis=1)
+    res = evaluate_dataset(sep, _DS(), fs=8000, batch_size=1,
+                           frame_spec=(510, 128, 64), max_buckets=2,
+                           warmup=False, out_dir=str(tmp_path),
+                           split_name="test")
+    assert res["summary"]["merged_utterances"] >= 1
+    assert res["summary"]["merged_indices"]
+    flagged = [k for k, r in res["results"].items() if r.get("merged_pad")]
+    assert sorted(int(k) for k in flagged) == \
+        res["summary"]["merged_indices"]
+    # provenance in the written artifacts too
+    on_disk = json.load(open(tmp_path / "test_summary.json"))
+    assert on_disk["merged_utterances"] >= 1
+    assert on_disk["pesq_impl"] in ("itu", "p862_numpy")
+    # a run under the cap reports zero merges
+    res2 = evaluate_dataset(sep, _DS(), fs=8000, batch_size=1,
+                            frame_spec=(510, 128, 64), max_buckets=8,
+                            warmup=False)
+    assert res2["summary"]["merged_utterances"] == 0
+    assert "merged_indices" not in res2["summary"]
+    assert not any(r.get("merged_pad") for r in res2["results"].values())
+
+
 def test_evaluate_dataset_mesh_partial_batch():
     """batch 4 on an 8-device mesh with a partial trailing chunk: the
     harness must pad every batch to a device-count multiple so sharding
@@ -185,16 +236,18 @@ def test_bucket_consolidation_cap(capsys):
     from ditsep_tpu.eval.evaluate import _bucket_lengths
 
     lengths = list(range(4000, 40001, 1357))
-    assigned = _bucket_lengths(lengths, 256, 4)
+    assigned, merged = _bucket_lengths(lengths, 256, 4)
     shapes = set(assigned.values())
     assert len(shapes) <= 4
     assert all(assigned[i] >= L for i, L in enumerate(lengths))
+    assert merged  # consolidation moved utterances off their own shape
     assert "consolidating" in capsys.readouterr().out
     # under the cap: no consolidation, exact rounding kept
     few = [5000, 5100, 9000]
-    a2 = _bucket_lengths(few, 256, 8)
+    a2, m2 = _bucket_lengths(few, 256, 8)
     assert all(a2[i] % 256 == 0 and a2[i] >= L for i, L in enumerate(few))
     assert len(set(a2.values())) == 2  # 5000/5100 round together
+    assert not m2
 
 
 def test_frame_block_bucketing():
@@ -212,12 +265,13 @@ def test_frame_block_bucketing():
     blk = lambda L: -(-_stft_frames(L, 510, 128) // 64)
     rng = np.random.default_rng(3)
     lengths = [int(x) for x in rng.integers(16000, 200000, 200)]
-    a = _bucket_lengths_frames(lengths, spec, max_buckets=32)
+    a, m = _bucket_lengths_frames(lengths, spec, max_buckets=32)
+    assert not m
     for i, L in enumerate(lengths):
         assert a[i] >= L
         assert blk(a[i]) == blk(L), (L, a[i])
     # the measured cliff case: 32000-sample items must NOT pad to 32512+
-    a32 = _bucket_lengths_frames([32000, 31000, 32256], spec, 8)
+    a32, _ = _bucket_lengths_frames([32000, 31000, 32256], spec, 8)
     assert all(blk(v) == blk(32000) == 4 for v in a32.values())
     assert max(a32.values()) == 32256
 
@@ -229,9 +283,11 @@ def test_frame_block_cap_merges(capsys):
     from ditsep_tpu.eval.evaluate import _bucket_lengths_frames
 
     lengths = list(range(16000, 160001, 4111))
-    a = _bucket_lengths_frames(lengths, (510, 128, 64), max_buckets=4)
+    a, merged = _bucket_lengths_frames(lengths, (510, 128, 64),
+                                       max_buckets=4)
     assert len(set(a.values())) <= 4
     assert all(a[i] >= L for i, L in enumerate(lengths))
+    assert merged  # the affected indices are reported, not just printed
     assert "merged" in capsys.readouterr().out
 
 
@@ -307,7 +363,9 @@ def test_evaluate_dataset_end_to_end(tmp_path):
     assert (media / "0000.pdf").exists()
     j = json.load(open(tmp_path / "synthetic_test_summary.json"))
     assert set(j) == {"batch_idx", "si_sdr", "si_sir", "si_sar", "pesq",
-                      "stoi", "nfe", "runtime", "len_s", "number"}
+                      "stoi", "nfe", "runtime", "len_s", "number",
+                      "pesq_impl", "merged_utterances"}
+    assert j["merged_utterances"] == 0
     per = json.load(open(tmp_path / "synthetic_test.json"))
     assert len(per) == 6
     assert "runtime" in per["0"]

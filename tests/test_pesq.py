@@ -96,7 +96,7 @@ def test_compute_metrics_pesq_finite():
     mix = tgt.sum(0, keepdims=True)
     est = tgt + 0.02 * rng.standard_normal(tgt.shape)
     m = compute_metrics(est, tgt, fs=8000)
-    assert np.isfinite(m["pesq"]) and m["pesq"] > 1.0
+    assert all(np.isfinite(v) and v > 1.0 for v in m["pesq"])
 
 
 def test_utterance_align_recovers_per_utterance_delay():
