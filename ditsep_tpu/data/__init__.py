@@ -23,6 +23,7 @@ from ditsep_tpu.data.webdataset import (
 from ditsep_tpu.data.wsj0_mix import (
     BucketedLoader,
     SyntheticMixDataset,
+    SyntheticTonalMixDataset,
     WSJ0Mix,
     length_buckets,
     max_collator,

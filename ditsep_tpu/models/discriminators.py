@@ -36,8 +36,10 @@ class WNConv2d(nn.Module):
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
         kh, kw = self.kernel_size
-        v = self.param("v", nn.initializers.he_uniform(),
-                       (kh, kw, in_ch, self.out_ch))
+        # torch Conv default gain (see oobleck._torch_conv_init)
+        v = self.param("v", nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"),
+            (kh, kw, in_ch, self.out_ch))
         g = self.param(
             "g", lambda key, shape: jnp.sqrt(
                 jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1, 2))),

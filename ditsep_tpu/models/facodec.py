@@ -292,7 +292,9 @@ class WNDense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_dim = x.shape[-1]
-        v = self.param("v", nn.initializers.he_uniform(),
+        # torch Linear default gain (see oobleck._torch_conv_init)
+        v = self.param("v", nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"),
                        (in_dim, self.out_dim))
         g = self.param(
             "g", lambda key, shape: jnp.sqrt(

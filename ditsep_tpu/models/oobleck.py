@@ -29,6 +29,16 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# torch Conv/Linear default init: kaiming_uniform(a=sqrt(5)) ==
+# U(+-1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform). The
+# weight-normed stacks below are tuned (by the reference's torch
+# training runs) to this gain; a hotter init (he_uniform is 6x the
+# variance) compounds through the ~24-conv decoder into tanh
+# saturation at init (exactly-zero gradients, untrainable from
+# scratch — observed before this fix).
+_torch_conv_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
 
 def _elu(x: Array) -> Array:
     return jax.nn.elu(x)
@@ -82,7 +92,7 @@ class WNConv1d(nn.Module):
         assert in_ch % self.groups == 0 and self.out_ch % self.groups == 0
         k = self.kernel_size
         v = self.param(
-            "v", nn.initializers.he_uniform(),
+            "v", _torch_conv_init,
             (k, in_ch // self.groups, self.out_ch))
         # init g to ||v|| so the initial effective weight equals v
         g = self.param(
@@ -129,8 +139,10 @@ class WNConvTranspose1d(nn.Module):
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
         k = self.kernel_size
+        # flax fan_in over (k, out, in) is k*out — the same quirk as
+        # torch's ConvTranspose kaiming fan_in (= size(1) * k = out*k)
         v = self.param(
-            "v", nn.initializers.he_uniform(), (k, self.out_ch, in_ch))
+            "v", _torch_conv_init, (k, self.out_ch, in_ch))
         g = self.param(
             "g", lambda key, shape: jnp.sqrt(
                 jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1))),

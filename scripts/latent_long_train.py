@@ -13,7 +13,7 @@ training code paths:
    (src/stable_audio_tools/training/autoencoders.py:365-530), which
    trains the oobleck VAE the latent pipeline rides.
 2. Latent score: the latent_diffsep_ouve config family shrunk to a
-   64x-compression VAE (synthetic band-split mixtures carry far less
+   64x-compression VAE (synthetic harmonic-tone mixtures carry far less
    structure than speech; 2048x would gate the ceiling on VAE capacity,
    not on the score model), trained with
    LatentDiffSepTrainer.train_step_latent (frozen VAE, reference:
@@ -65,13 +65,18 @@ OVERRIDES = {
 
 
 def make_batcher(n_items: int, seed: int):
-    """Host batcher over SyntheticMixDataset (fixed 4 s items -> static
-    shapes; the same separable band-split task as round 3's waveform
-    long-train)."""
-    from ditsep_tpu.data.wsj0_mix import SyntheticMixDataset
+    """Host batcher over SyntheticTonalMixDataset (fixed 4 s items ->
+    static shapes). Harmonic tones, NOT round 3's band-split noise:
+    noise waveforms carry more dof/s than a 64x-compressed latent rate,
+    so no codec can reconstruct them and the VAE recon ceiling (hence
+    the whole artifact) would sit at noise level by construction —
+    measured: -49 dB recon SI-SDR, flat, on the band-split task. Tones
+    are the minimal codec-compressible stand-in for speech, with the
+    same disjoint-band separability (see the dataset docstring)."""
+    from ditsep_tpu.data.wsj0_mix import SyntheticTonalMixDataset
 
-    ds = SyntheticMixDataset(n_items=n_items, min_len_s=LEN_S,
-                             max_len_s=LEN_S, seed=seed)
+    ds = SyntheticTonalMixDataset(n_items=n_items, min_len_s=LEN_S,
+                                  max_len_s=LEN_S, seed=seed)
     cache = {}
 
     def get(i):
@@ -106,8 +111,8 @@ def main():
     p.add_argument("--out", default=str(ROOT / "docs"
                                         / "latent_long_train_r04.json"))
     p.add_argument("--vae-steps", type=int, default=8000)
-    p.add_argument("--score-steps", type=int, default=30000)
-    p.add_argument("--interim-every", type=int, default=5000)
+    p.add_argument("--score-steps", type=int, default=20000)
+    p.add_argument("--interim-every", type=int, default=4000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--vae-batch", type=int, default=8)
     p.add_argument("--n-train", type=int, default=2048)
@@ -163,12 +168,20 @@ def main():
     flush()
 
     # ---------------------------------------------------- phase 1: VAE --
+    # Loss weights tuned for TONAL data (vs the reference speech config):
+    # A-weighting OFF — at 8 kHz it attenuates a 120 Hz fundamental by
+    # ~29 dB, hiding source 0 from the loss entirely; L1 at 1.0 — tonal
+    # spectra are sparse (most STFT bins empty), which makes silence a
+    # strong MRSTFT local minimum (measured: decoder pinned at exactly
+    # -79.18 dB recon for 4k steps with the speech weights); the
+    # time-domain term provides the escape gradient.
     ae = AutoencoderTrainer(
         vae=vae,
         loss_cfg=AutoencoderLossConfig(
-            l1=0.1, fft_sizes=(1024, 512, 256, 128, 64),
+            l1=1.0, perceptual_weighting=False,
+            fft_sizes=(1024, 512, 256, 128, 64),
             hop_sizes=(256, 128, 64, 32, 16), sample_rate=FS),
-        lr=1.5e-4, clip_grad_norm=1.0)
+        lr=2e-4, clip_grad_norm=1.0)
     key = jax.random.PRNGKey(0)
     vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 1, T_LEN)))
     ae_state = ae.init_state(vae_params)
@@ -274,7 +287,7 @@ def main():
         "separated_si_sdr_ema": last["si_sdr_separated_ema"],
         "improvement_db": last["improvement_db"],
         "note": ("end-to-end latent pipeline learns on synthetic "
-                 "band-split mixtures: VAE trained from scratch "
+                 "harmonic-tone mixtures: VAE trained from scratch "
                  "(AutoencoderTrainer), latent score trained inside it "
                  "(train_step_latent), evaluated encode -> latent "
                  f"PC(N={args.eval_n}) -> decode vs mixture baseline; "

@@ -1,0 +1,133 @@
+"""NFE-reduction study on the LATENT separation pipeline.
+
+Round 3 quantified AB2-vs-PC NFE efficiency on the WAVEFORM path only
+(docs/nfe_study.json, synthetic sign-off); the thesis's core pipeline is
+the latent one (reference: src/evaluate_latent.py). This script sweeps
+sampler step counts on the latent model trained by
+scripts/latent_long_train.py (same synthetic band-split task, same val
+stream) and records SI-SDR + measured throughput per operating point:
+
+* PC ('reverse_diffusion' + 'ald', the reference's latent sampler,
+  src/diffsep_latent.py:471-487) at N in {30, 15, 8}  -> NFE = 2N
+* AB2 multistep (our NFE-efficiency extension) at N in {60, 30, 15, 8}
+  -> NFE = N (one score call per step)
+
+Writes docs/latent_nfe_r04.json. Run AFTER latent_long_train:
+
+    python scripts/latent_nfe_study.py --workdir /tmp/latent_long_train_r04
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(ROOT / "scripts"))
+from latent_long_train import (FS, OVERRIDES, T_LEN,  # noqa: E402
+                               make_batcher, si_sdr_pit_mean)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="/tmp/latent_long_train_r04")
+    p.add_argument("--out", default=str(ROOT / "docs"
+                                        / "latent_nfe_r04.json"))
+    p.add_argument("--val-batch", type=int, default=16)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ditsep_tpu.configs import latent_diffsep_ouve, override
+    from ditsep_tpu.configs.build import build_latent_trainer
+    from ditsep_tpu.sdes import ab2_sample
+    from ditsep_tpu.utils.checkpoint import load_params_npz
+
+    cfg = override(latent_diffsep_ouve(), OVERRIDES)
+    trainer = build_latent_trainer(cfg)
+    work = Path(args.workdir)
+
+    # rebuild templates to load the npz trees into
+    key = jax.random.PRNGKey(0)
+    ex_mix = jnp.zeros((1, 1, T_LEN))
+    ex_tgt = jnp.zeros((1, 2, T_LEN))
+    vae_t = jax.jit(trainer.vae.init)(key, ex_mix)
+    mix_lat, tgt_lat = trainer.encode(vae_t, None, ex_mix, ex_tgt)
+    score_t = jax.jit(trainer.model.init)(
+        key, tgt_lat, jnp.full((1,), 0.5), mix_lat)
+    vae_params = load_params_npz(str(work / "vae.npz"), vae_t)
+    score_params = load_params_npz(str(work / "score_ema.npz"), score_t)
+
+    # same val draw as latent_long_train (seed 10_000 stream, rng 99)
+    val_batch_fn = make_batcher(256, seed=10_000)
+    val_mix, val_tgt = val_batch_fn(np.random.default_rng(99),
+                                    args.val_batch)
+    val_tgt_np = np.asarray(val_tgt)
+    mix_base = si_sdr_pit_mean(
+        np.repeat(np.asarray(val_mix), 2, axis=1), val_tgt_np)
+
+    def pc_fn(n):
+        return jax.jit(lambda p, vp, k, m: trainer.separate_latent(
+            p, vp, k, m, target_dim=T_LEN, N=n)[0])
+
+    def ab2_fn(n):
+        def run(p, vp, k, m):
+            k_enc, k_samp = jax.random.split(k)
+            lat, _ = trainer.encode(vp, k_enc, m, None)
+            sf = lambda x, t, y: trainer.model_fwd(p, x, t, y)
+            est, _ = ab2_sample(trainer.sde, sf, k_samp, lat, N=n,
+                                eps=trainer.cfg.t_eps, denoise=True,
+                                n_spkrs=trainer.cfg.n_speakers)
+            return trainer.decode(vp, est, T_LEN)
+        return jax.jit(run)
+
+    points = ([("pc", n, 2 * n, pc_fn(n)) for n in (30, 15, 8)]
+              + [("ab2", n, n, ab2_fn(n)) for n in (60, 30, 15, 8)])
+
+    results = []
+    for name, n, nfe, fn in points:
+        est = np.asarray(fn(score_params, vae_params,
+                            jax.random.PRNGKey(7), val_mix))  # warm
+        t0 = time.perf_counter()
+        for i in range(args.reps):
+            out = fn(score_params, vae_params,
+                     jax.random.PRNGKey(7 + i), val_mix)
+            jax.block_until_ready(out)
+            float(np.asarray(jnp.mean(out)))  # host read = true sync
+        dt = (time.perf_counter() - t0) / args.reps
+        sdr = si_sdr_pit_mean(est, val_tgt_np)
+        row = {"sampler": name, "N": n, "nfe": nfe,
+               "si_sdr": round(sdr, 3),
+               "improvement_db": round(sdr - mix_base, 3),
+               "utt_per_s": round(args.val_batch / dt, 3)}
+        results.append(row)
+        print(row, flush=True)
+
+    artifact = {
+        "config": {"family": "latent_diffsep_ouve (shrunk, synthetic)",
+                   "checkpoint": str(work),
+                   "val_batch": args.val_batch, "fs": FS,
+                   "backend": str(jax.devices()[0])},
+        "mixture_baseline_si_sdr": round(mix_base, 3),
+        "points": results,
+        "note": ("synthetic-data sign-off ONLY (same caveat as "
+                 "docs/nfe_study.json): relative NFE efficiency of AB2 "
+                 "vs the reference's PC sampler on the LATENT pipeline; "
+                 "absolute SI-SDR is task-bound by the from-scratch VAE "
+                 "ceiling, see docs/latent_long_train_r04.json"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()

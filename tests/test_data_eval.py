@@ -33,6 +33,28 @@ def test_synthetic_dataset_shapes():
     np.testing.assert_allclose(mix[0], tgt.sum(0), atol=1e-5)
 
 
+def test_synthetic_tonal_dataset():
+    """Tonal variant: deterministic, mix = sum of sources, disjoint f0
+    bands per source (the property that keeps separation well-posed AND
+    the waveform codec-compressible — see the dataset docstring)."""
+    from ditsep_tpu.data import SyntheticTonalMixDataset
+
+    ds = SyntheticTonalMixDataset(n_items=3, min_len_s=1.0, max_len_s=2.0)
+    mix, tgt = ds[0]
+    assert mix.shape[0] == 1 and tgt.shape[0] == 2
+    np.testing.assert_allclose(mix[0], tgt.sum(0), atol=1e-5)
+    m2, t2 = ds[0]
+    np.testing.assert_array_equal(mix, m2)  # deterministic per index
+    assert ds.item_length(0) == mix.shape[-1]
+    # spectral disjointness: source 0 concentrates below 400 Hz, source 1
+    # peaks above 300 Hz
+    f = np.fft.rfftfreq(tgt.shape[-1], 1 / ds.fs)
+    p0 = np.abs(np.fft.rfft(tgt[0])) ** 2
+    p1 = np.abs(np.fft.rfft(tgt[1])) ** 2
+    assert p0[f < 400].sum() / p0.sum() > 0.8
+    assert f[np.argmax(p1)] > 300
+
+
 def test_max_collator_pads_centered():
     a = (np.ones((1, 10), np.float32), np.ones((2, 10), np.float32))
     b = (np.ones((1, 6), np.float32), np.ones((2, 6), np.float32))

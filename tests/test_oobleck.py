@@ -217,3 +217,27 @@ def test_nearest_upsample_exact_length():
         x = jnp.zeros((1, 10, 8))
         p = blk.init(jax.random.PRNGKey(0), x)
         assert blk.apply(p, x).shape == (1, 10 * s, 4), s
+
+
+def test_fresh_init_trainable_no_tanh_saturation():
+    """Fresh-init health: conv init must use the torch default gain
+    (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))). With he_uniform
+    (6x the variance) the gain compounded through the ~24-conv snake
+    decoder into 99% |tanh|=1 saturation at init -> exactly-zero
+    gradients, untrainable from scratch (the round-4 latent long-train
+    collapse). Guard both the saturation symptom and the init bound."""
+    vae = OobleckVAE(in_channels=1, out_channels=1, channels=32,
+                     c_mults=(1, 2, 4), strides=(2, 4, 8), latent_dim=16,
+                     use_snake=True)
+    key = jax.random.PRNGKey(0)
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 1, 4096)).astype(np.float32) * 0.2)
+    params = vae.init(key, audio)
+    lat = vae.apply(params, audio, method=vae.encode)
+    dec = np.asarray(vae.apply(params, lat, method=vae.decode))
+    assert np.isfinite(dec).all()
+    assert (np.abs(dec) > 0.9999).mean() < 0.01
+    # conv direction init bound matches torch: |v| <= sqrt(1/fan_in)
+    v = params["params"]["decoder"]["block_0"]["res_0"]["conv_0"]["v"]
+    fan_in = v.shape[0] * v.shape[1]
+    assert float(jnp.abs(v).max()) <= (1.0 / fan_in) ** 0.5 + 1e-6
