@@ -224,6 +224,11 @@ def main():
                      "steps_per_s": round(step / dt, 3)}
             artifact["phase1_vae"]["interims"].append(entry)
             flush()
+            # crash-safe: keep the better-of-live/EMA weights on disk so
+            # downstream consumers (latent_nfe_study) survive a kill
+            save_params_npz(str(work / "vae.npz"),
+                            ae_state.ema_vae_params
+                            if sdr_ema >= sdr_live else ae_state.vae_params)
             print(f"[vae {step}] loss={loss:.4f} recon={sdr_live:.2f} "
                   f"ema={sdr_ema:.2f} dB ({step / dt:.2f} st/s)",
                   flush=True)
@@ -275,6 +280,7 @@ def main():
                      "steps_per_s": round(step / dt, 3)}
             artifact["phase2_score"]["interims"].append(entry)
             flush()
+            save_params_npz(str(work / "score_ema.npz"), state.ema_params)
             print(f"[score {step}] loss={loss:.4f} sep={sdr:.2f} "
                   f"ema={sdr_ema:.2f} dB ({step / dt:.2f} st/s)",
                   flush=True)

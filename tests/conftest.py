@@ -21,3 +21,14 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def pytest_runtest_logreport(report):
+    """Opt-in per-test duration log (DITSEP_DURATIONS_LOG=<path>): appends
+    one `seconds<TAB>nodeid` line per call phase as tests finish, so tier
+    re-balancing has incremental data even if a long run is interrupted
+    (pytest's own --durations only prints at session end)."""
+    path = os.environ.get("DITSEP_DURATIONS_LOG")
+    if path and report.when == "call":
+        with open(path, "a") as f:
+            f.write(f"{report.duration:.2f}\t{report.nodeid}\n")
