@@ -177,7 +177,13 @@ def save_params_npz(path: str, params: Any) -> None:
     for kp, leaf in flat:
         key = "/".join(str(getattr(k, "key", k)) for k in kp)
         out[key] = np.asarray(leaf)
-    np.savez(path, **out)
+    # Atomic: write to a sibling temp file, then rename over the target,
+    # so a kill mid-write preserves the previous good checkpoint.
+    tmp = f"{path}.tmp-{os.getpid()}"
+    np.savez(tmp, **out)
+    # np.savez appends .npz when the name lacks it
+    tmp_real = tmp if tmp.endswith(".npz") else f"{tmp}.npz"
+    os.replace(tmp_real, path if path.endswith(".npz") else f"{path}.npz")
 
 
 def load_params_npz(path: str, template: Any) -> Any:

@@ -21,7 +21,7 @@ training code paths:
    encode -> 30-step latent PC ('ald') -> decode vs the mixture
    baseline, with the VAE reconstruction SI-SDR as the measured ceiling.
 
-Writes docs/latent_long_train_r04.json progressively (crash-safe) and
+Writes docs/latent_long_train_r05.json progressively (crash-safe) and
 the trained params (vae.npz / score_ema.npz) under --workdir.
 
     python scripts/latent_long_train.py [--vae-steps N] [--score-steps N]
@@ -107,9 +107,9 @@ def si_sdr_pit_mean(est: np.ndarray, tgt: np.ndarray) -> float:
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workdir", default="/tmp/latent_long_train_r04")
+    p.add_argument("--workdir", default="/tmp/latent_long_train_r05")
     p.add_argument("--out", default=str(ROOT / "docs"
-                                        / "latent_long_train_r04.json"))
+                                        / "latent_long_train_r05.json"))
     p.add_argument("--vae-steps", type=int, default=8000)
     p.add_argument("--score-steps", type=int, default=20000)
     p.add_argument("--interim-every", type=int, default=4000)

@@ -4,20 +4,27 @@ Round 3 quantified AB2-vs-PC NFE efficiency on the WAVEFORM path only
 (docs/nfe_study.json, synthetic sign-off); the thesis's core pipeline is
 the latent one (reference: src/evaluate_latent.py). This script sweeps
 sampler step counts on the latent model trained by
-scripts/latent_long_train.py (same synthetic band-split task, same val
-stream) and records SI-SDR + measured throughput per operating point:
+scripts/latent_long_train.py (same synthetic tonal-mix task, same val
+stream) and records SI-SDR + measured throughput per operating point,
+with the same >=5-seed / 95%-CI discipline as docs/nfe_study.json:
 
 * PC ('reverse_diffusion' + 'ald', the reference's latent sampler,
   src/diffsep_latent.py:471-487) at N in {30, 15, 8}  -> NFE = 2N
 * AB2 multistep (our NFE-efficiency extension) at N in {60, 30, 15, 8}
   -> NFE = N (one score call per step)
 
-Writes docs/latent_nfe_r04.json. Run AFTER latent_long_train:
+Each point is sampled with --seeds independent sampling keys; the
+sign-off rule is seed-paired against the reference operating point
+pc_N30: a point is ACCEPTED iff the upper 95% CI bound of its
+seed-paired SI-SDR deficit vs pc_N30 is <= 0.5 dB.
 
-    python scripts/latent_nfe_study.py --workdir /tmp/latent_long_train_r04
+Writes docs/latent_nfe_r05.json. Run AFTER latent_long_train:
+
+    python scripts/latent_nfe_study.py --workdir /tmp/latent_long_train_r05
 """
 import argparse
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -33,14 +40,30 @@ sys.path.insert(0, str(ROOT / "scripts"))
 from latent_long_train import (FS, OVERRIDES, T_LEN,  # noqa: E402
                                make_batcher, si_sdr_pit_mean)
 
+# two-sided t critical values at 95% for n-1 dof (n = #seeds), so the CI
+# is honest at small n (docs/nfe_study.json used the same discipline)
+T95 = {2: 12.706, 3: 4.303, 4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447,
+       8: 2.365, 9: 2.306, 10: 2.262}
+
+
+def mean_ci95(vals):
+    vals = np.asarray(vals, dtype=np.float64)
+    n = len(vals)
+    m = float(np.mean(vals))
+    if n < 2:
+        return m, 0.0
+    sd = float(np.std(vals, ddof=1))
+    return m, T95.get(n - 1, 1.96) * sd / math.sqrt(n)
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workdir", default="/tmp/latent_long_train_r04")
+    p.add_argument("--workdir", default="/tmp/latent_long_train_r05")
     p.add_argument("--out", default=str(ROOT / "docs"
-                                        / "latent_nfe_r04.json"))
+                                        / "latent_nfe_r05.json"))
     p.add_argument("--val-batch", type=int, default=16)
-    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--accept-db", type=float, default=0.5)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -89,43 +112,70 @@ def main():
             return trainer.decode(vp, est, T_LEN)
         return jax.jit(run)
 
-    points = ([("pc", n, 2 * n, pc_fn(n)) for n in (30, 15, 8)]
-              + [("ab2", n, n, ab2_fn(n)) for n in (60, 30, 15, 8)])
+    points = ([(f"pc_N{n}", 2 * n, pc_fn(n)) for n in (30, 15, 8)]
+              + [(f"ab2_N{n}", n, ab2_fn(n)) for n in (60, 30, 15, 8)])
 
-    results = []
-    for name, n, nfe, fn in points:
-        est = np.asarray(fn(score_params, vae_params,
-                            jax.random.PRNGKey(7), val_mix))  # warm
-        t0 = time.perf_counter()
-        for i in range(args.reps):
-            out = fn(score_params, vae_params,
+    configs = {}
+    per_seed = {}
+    for name, nfe, fn in points:
+        # warm (compile) outside the timed/scored loop
+        jax.block_until_ready(fn(score_params, vae_params,
+                                 jax.random.PRNGKey(7), val_mix))
+        sdrs, t_total = [], 0.0
+        for i in range(args.seeds):
+            t0 = time.perf_counter()
+            est = fn(score_params, vae_params,
                      jax.random.PRNGKey(7 + i), val_mix)
-            jax.block_until_ready(out)
-            float(np.asarray(jnp.mean(out)))  # host read = true sync
-        dt = (time.perf_counter() - t0) / args.reps
-        sdr = si_sdr_pit_mean(est, val_tgt_np)
-        row = {"sampler": name, "N": n, "nfe": nfe,
-               "si_sdr": round(sdr, 3),
-               "improvement_db": round(sdr - mix_base, 3),
-               "utt_per_s": round(args.val_batch / dt, 3)}
-        results.append(row)
-        print(row, flush=True)
+            jax.block_until_ready(est)
+            t_total += time.perf_counter() - t0
+            sdrs.append(si_sdr_pit_mean(np.asarray(est), val_tgt_np))
+        m, ci = mean_ci95(sdrs)
+        per_seed[name] = sdrs
+        configs[name] = {
+            "nfe": nfe,
+            "si_sdr_mean": round(m, 3),
+            "si_sdr_ci95": round(ci, 3),
+            "si_sdr_per_seed": [round(v, 3) for v in sdrs],
+            "utt_per_s": round(args.val_batch * args.seeds / t_total, 3),
+        }
+        print(name, configs[name], flush=True)
+
+    # seed-paired deficits vs the reference operating point pc_N30
+    ref = np.asarray(per_seed["pc_N30"])
+    for name, cfg_row in configs.items():
+        deficit = ref - np.asarray(per_seed[name])
+        dm, dci = mean_ci95(deficit)
+        upper = dm + dci
+        cfg_row["deficit_vs_pc_N30_mean"] = round(dm, 3)
+        cfg_row["deficit_vs_pc_N30_ci95"] = round(dci, 3)
+        cfg_row["deficit_upper95"] = round(upper, 3)
+        cfg_row["accepted"] = bool(upper <= args.accept_db)
 
     artifact = {
-        "config": {"family": "latent_diffsep_ouve (shrunk, synthetic)",
-                   "checkpoint": str(work),
-                   "val_batch": args.val_batch, "fs": FS,
-                   "backend": str(jax.devices()[0])},
+        "protocol": {
+            "n_seeds": args.seeds,
+            "val_batch": args.val_batch,
+            "len_s": T_LEN / FS,
+            "accept_rule": ("accepted iff upper 95% CI bound of the "
+                            "seed-paired SI-SDR deficit vs pc_N30 <= "
+                            f"{args.accept_db} dB"),
+            "checkpoint": str(work),
+            "data": ("SyntheticTonalMixDataset (harmonic-tone mixtures; "
+                     "real-data sign-off requires WSJ0/LibriMix, absent "
+                     "in this image)"),
+            "backend": str(jax.devices()[0]),
+        },
         "mixture_baseline_si_sdr": round(mix_base, 3),
-        "points": results,
+        "configs": configs,
         "note": ("synthetic-data sign-off ONLY (same caveat as "
                  "docs/nfe_study.json): relative NFE efficiency of AB2 "
                  "vs the reference's PC sampler on the LATENT pipeline; "
                  "absolute SI-SDR is task-bound by the from-scratch VAE "
-                 "ceiling, see docs/latent_long_train_r04.json"),
+                 "ceiling, see docs/latent_long_train_r05.json"),
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
+        f.write("\n")
     print(json.dumps({"written": args.out}))
 
 
