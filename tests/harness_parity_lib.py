@@ -103,6 +103,14 @@ class DictConfig:
     def __setattr__(self, k, v):
         self._d[k] = _wrap_cfg(v)
 
+    def __delattr__(self, k):
+        # evaluate_latent does `del ds_args._target_`
+        # (src/evaluate_latent.py:186)
+        try:
+            del self._d[k]
+        except KeyError:
+            raise AttributeError(k)
+
     __getitem__ = lambda self, k: self._d[k]
     __setitem__ = __setattr__
     __contains__ = lambda self, k: k in self._d

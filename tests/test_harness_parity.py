@@ -23,6 +23,43 @@ sys.path.insert(0, str(Path(__file__).parent))
 import harness_parity_lib as lib  # noqa: E402
 
 
+def _check_leg(art, tmp_path, ref_dir, our_dir):
+    deltas = art["per_utterance_max_abs_delta"]
+    for f, tol in lib.TOL.items():
+        assert deltas[f] <= tol, (f, deltas[f], tol)
+    assert all(art["exact_fields"].values()), art["exact_fields"]
+    for f in ("si_sdr", "si_sir", "si_sar"):
+        assert art["summary_abs_delta"][f] <= lib.TOL[f]
+    assert art["summary_abs_delta"]["number_equal"]
+    for side in (ref_dir, our_dir):
+        d = tmp_path / side
+        assert (d / "librimix_test.json").exists()
+        assert (d / "librimix_test_summary.json").exists()
+
+
+@pytest.mark.slow
+def test_eval_harness_artifact_parity_ouve(tmp_path):
+    """The reference's evaluate_ouve executable (DiffSepOU, OUVESDE,
+    'ald' corrector — src/evaluate_ouve.py:257,315) vs our OUVE-config
+    evaluate_dataset path."""
+    import harness_parity_ext as ext
+
+    art = ext.run_ouve_parity(str(tmp_path))
+    _check_leg(art, tmp_path, "ref_out", "our_out")
+
+
+@pytest.mark.slow
+def test_eval_harness_artifact_parity_latent(tmp_path):
+    """The reference's evaluate_latent executable (LatentDiffSep:
+    VAE-encode -> latent PC -> decode, src/evaluate_latent.py:259-281)
+    vs our separate_latent evaluate_dataset path (the cli/evaluate
+    --latent wiring)."""
+    import harness_parity_ext as ext
+
+    art = ext.run_latent_parity(str(tmp_path))
+    _check_leg(art, tmp_path, "ref_out_lat", "our_out_lat")
+
+
 @pytest.mark.slow
 def test_eval_harness_artifact_parity(tmp_path):
     art = lib.run_full_parity(str(tmp_path))
