@@ -23,6 +23,28 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
+def pytest_collection_modifyitems(config, items):
+    """Apply the 'heavy' marker from the checked-in tier list
+    (tests/heavy_tests.txt, measured per-test durations >10s on this
+    box). Tiers:
+      fast : -m "not slow and not heavy"   (<10 min target)
+      full : no marker filter              (<45 min target)
+    The list is data, not decoration, so a re-tier is one regenerated
+    file from a DITSEP_DURATIONS_LOG run (see docs/ROADMAP_r5.md)."""
+    tier_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "heavy_tests.txt")
+    if not os.path.exists(tier_file):
+        return
+    import pytest
+
+    with open(tier_file) as f:
+        heavy = {ln.strip() for ln in f
+                 if ln.strip() and not ln.startswith("#")}
+    for item in items:
+        if item.nodeid in heavy:
+            item.add_marker(pytest.mark.heavy)
+
+
 def pytest_runtest_logreport(report):
     """Opt-in per-test duration log (DITSEP_DURATIONS_LOG=<path>): appends
     one `seconds<TAB>nodeid` line per call phase as tests finish, so tier
