@@ -62,6 +62,11 @@ def main():
     p.add_argument("--out", default=str(ROOT / "docs"
                                         / "latent_nfe_r05.json"))
     p.add_argument("--val-batch", type=int, default=16)
+    p.add_argument("--partial",
+                   default="/tmp/latent_nfe_partial.json",
+                   help="incremental per-point results; completed "
+                        "points are skipped on relaunch (tunnel-wedge "
+                        "recovery)")
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--accept-db", type=float, default=0.5)
     p.add_argument("--cpu", action="store_true")
@@ -115,9 +120,22 @@ def main():
     points = ([(f"pc_N{n}", 2 * n, pc_fn(n)) for n in (30, 15, 8)]
               + [(f"ab2_N{n}", n, ab2_fn(n)) for n in (60, 30, 15, 8)])
 
+    # Restartable: the axon tunnel can wedge mid-run (see
+    # docs/tpu_notes.md); completed points persist to --partial and are
+    # skipped on relaunch, so a supervisor can kill+retry losslessly.
+    partial_path = Path(args.partial)
     configs = {}
     per_seed = {}
+    if partial_path.exists():
+        saved = json.loads(partial_path.read_text())
+        configs = saved["configs"]
+        per_seed = {k: v["si_sdr_per_seed_full"]
+                    for k, v in configs.items()}
+        print(f"resuming: {sorted(configs)} done", flush=True)
+
     for name, nfe, fn in points:
+        if name in configs:
+            continue
         # warm (compile) outside the timed/scored loop
         jax.block_until_ready(fn(score_params, vae_params,
                                  jax.random.PRNGKey(7), val_mix))
@@ -136,9 +154,14 @@ def main():
             "si_sdr_mean": round(m, 3),
             "si_sdr_ci95": round(ci, 3),
             "si_sdr_per_seed": [round(v, 3) for v in sdrs],
+            "si_sdr_per_seed_full": sdrs,  # exact values for the
+            # seed-paired deficit CI on resume
             "utt_per_s": round(args.val_batch * args.seeds / t_total, 3),
         }
         print(name, configs[name], flush=True)
+        tmp = partial_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"configs": configs}))
+        tmp.replace(partial_path)
 
     # seed-paired deficits vs the reference operating point pc_N30
     ref = np.asarray(per_seed["pc_N30"])
@@ -150,6 +173,7 @@ def main():
         cfg_row["deficit_vs_pc_N30_ci95"] = round(dci, 3)
         cfg_row["deficit_upper95"] = round(upper, 3)
         cfg_row["accepted"] = bool(upper <= args.accept_db)
+        cfg_row.pop("si_sdr_per_seed_full", None)  # resume-internal
 
     artifact = {
         "protocol": {
