@@ -189,9 +189,19 @@ def save_params_npz(path: str, params: Any) -> None:
 def load_params_npz(path: str, template: Any) -> Any:
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    # tolerate the one-level collection wrapper mismatch: some exporters
+    # save the full flax variables dict ({'params': ...} -> 'params/...'
+    # keys) while loaders template the bare params tree, and vice versa
+    # (e.g. scripts/latent_long_train.py vs cli/evaluate --vae-params)
+    keyset = set(data.keys())
     leaves = []
     for kp, leaf in flat:
         key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        if key not in keyset:
+            if f"params/{key}" in keyset:
+                key = f"params/{key}"
+            elif key.startswith("params/") and key[7:] in keyset:
+                key = key[7:]
         arr = data[key]
         want = np.asarray(leaf).shape
         if arr.shape != want:  # not assert: must survive python -O

@@ -92,6 +92,24 @@ def test_params_npz_roundtrip(tmp_path):
                                np.arange(6.0).reshape(2, 3))
 
 
+def test_params_npz_collection_prefix_tolerance(tmp_path):
+    """save(full variables dict) -> load(bare params template) and the
+    reverse both resolve (the one-level 'params/' wrapper mismatch
+    between scripts saving trainer.vae.init output and cli loaders
+    templating variables['params'])."""
+    bare = {"layer": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(3)}}
+    full = {"params": bare}
+    p_full = str(tmp_path / "full.npz")
+    p_bare = str(tmp_path / "bare.npz")
+    save_params_npz(p_full, full)
+    save_params_npz(p_bare, bare)
+    out = load_params_npz(p_full, jax.tree.map(jnp.zeros_like, bare))
+    np.testing.assert_allclose(np.asarray(out["layer"]["kernel"]), 1.0)
+    out2 = load_params_npz(p_bare, jax.tree.map(jnp.ones_like, full))
+    np.testing.assert_allclose(np.asarray(out2["params"]["layer"]["bias"]),
+                               0.0)
+
+
 # ------------------------------------------------------------ parallel ----
 def test_mesh_and_sharding():
     mesh = make_mesh()
