@@ -48,11 +48,15 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
         n_src = trainer.cfg.n_speakers
         key = jax.random.PRNGKey(seed)
         vae_params = init_vae_params(trainer, vae_params_npz, key)
-        mix_lat, tgt_lat = trainer.encode(
-            vae_params, None, jnp.zeros((1, 1, int(fs))),
-            jnp.zeros((1, n_src, int(fs))))
-        template = trainer.model.init(key, tgt_lat, jnp.full((1,), 0.5),
-                                      mix_lat)
+        # jit the init-path calls: eager init/encode dispatches one RPC
+        # per op on a remote-attached TPU (docs/tpu_notes.md) — minutes
+        # for the flagship config vs seconds jitted
+        mix_lat, tgt_lat = jax.jit(
+            lambda vp, m, t: trainer.encode(vp, None, m, t))(
+                vae_params, jnp.zeros((1, 1, int(fs))),
+                jnp.zeros((1, n_src, int(fs))))
+        template = jax.jit(trainer.model.init)(
+            key, tgt_lat, jnp.full((1,), 0.5), mix_lat)
         if params_npz:
             from ditsep_tpu.utils.checkpoint import load_params_npz
             params = {"params": load_params_npz(params_npz,

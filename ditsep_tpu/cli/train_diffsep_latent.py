@@ -59,7 +59,9 @@ class _VAEBoundTrainer:
 
 def init_vae_params(trainer, vae_params_path, key):
     example = jnp.zeros((1, 1, trainer.vae.downsampling_ratio * 4))
-    variables = trainer.vae.init(key, example)
+    # jitted: eager init is one RPC per op on a remote-attached TPU
+    # (docs/tpu_notes.md), minutes for the flagship VAE
+    variables = jax.jit(trainer.vae.init)(key, example)
     if vae_params_path:
         from ditsep_tpu.utils.checkpoint import load_params_npz
         return {"params": load_params_npz(

@@ -41,7 +41,17 @@ def build_score_model(cfg: Dict[str, Any]):
 def build_oobleck_vae(cfg: Dict[str, Any]) -> OobleckVAE:
     keep = {k: v for k, v in cfg.items()
             if k in ("in_channels", "out_channels", "channels", "latent_dim",
-                     "c_mults", "strides", "use_snake", "soft_clip")}
+                     "c_mults", "strides", "use_snake", "soft_clip",
+                     "dtype")}
+    # same string coercion as build_score_model (model.vae.dtype=bfloat16
+    # from CLI overrides); bf16 VAE compute is what the latent bench
+    # measures (scripts/latent_bench.py) — without this the serving path
+    # silently ran the VAE in f32
+    dt = keep.get("dtype")
+    if isinstance(dt, str):
+        import jax.numpy as jnp
+        keep["dtype"] = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                         "f32": None, "float32": None}[dt]
     return OobleckVAE(**keep)
 
 

@@ -35,6 +35,65 @@ FS = 8000
 BASELINE_UTT_PER_S = 1.0 / 3.659  # reference (BASELINE.md)
 
 
+def build_latent_engine(max_batch):
+    """The PRODUCTION latent serving engine: cli/serve_api.build_engine
+    with the flagship latent_diffsep_ouve family config (oobleck_finetune
+    VAE + nf=128 latent NCSN++) in bf16 — the exact path `serve_api
+    --latent` serves."""
+    from ditsep_tpu.cli.common import load_config
+    from ditsep_tpu.cli.serve_api import build_engine
+
+    cfg = load_config("latent_diffsep_ouve",
+                      ["model.score_model.dtype=bfloat16",
+                       "model.vae.dtype=bfloat16"])
+    return build_engine(cfg, latent=True, max_batch=max_batch,
+                        max_wait_ms=300.0, max_seconds=10.0, sampler_N=30)
+
+
+def run_latent(levels, waves):
+    """Latent-path sweep through the production engine; returns rows and
+    updates docs/serving_bench.json with a `latent_levels` section."""
+    rng = np.random.default_rng(0)
+    # same utterance-length band as the latent offline bench
+    # (docs/latent_bench_r04.json, 8.4 s utts); VAE hop 2048, engine
+    # buckets at hop*16=32768 so the band shares one bucket
+    lo, hi = 63000, 65536
+    rows = []
+    for conc in levels:
+        eng = build_latent_engine(max(conc, 1))
+        try:
+            audios = [rng.standard_normal(
+                int(rng.integers(lo, hi + 1))).astype(np.float32) * 0.2
+                for _ in range(conc)]
+            wait([eng.submit(a) for a in audios], timeout=3600)  # compile
+            t0 = time.perf_counter()
+            lat = []
+            for _ in range(waves):
+                futs = [eng.submit(a) for a in audios]
+                t_sub = time.perf_counter()
+                wait(futs, timeout=3600)
+                lat.append(time.perf_counter() - t_sub)
+                for f in futs:
+                    f.result()
+            dt = time.perf_counter() - t0
+            st = eng.stats()
+            row = {
+                "concurrency": conc,
+                "throughput_utt_per_s": round(conc * waves / dt, 4),
+                "vs_reference_gpu_waveform": round(
+                    (conc * waves / dt) / BASELINE_UTT_PER_S, 3),
+                "wave_latency_s_mean": round(float(np.mean(lat)), 3),
+                "mean_batch_occupancy": round(
+                    st["mean_batch_occupancy"], 2),
+                "batches": st["batches"],
+            }
+            rows.append(row)
+            print(json.dumps(row))
+        finally:
+            eng.close()
+    return rows
+
+
 def main():
     from ditsep_tpu.models import ScoreModelNCSNpp
     from ditsep_tpu.sdes import MixSDE, pc_sample
@@ -67,6 +126,24 @@ def main():
     levels = [int(x) for x in os.environ.get(
         "SERVE_BENCH_LEVELS", "1,8,32").split(",")]
     waves = int(os.environ.get("SERVE_BENCH_WAVES", "3"))
+
+    if "--latent" in sys.argv:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "serving_bench.json")
+        with open(path) as f:
+            out = json.load(f)
+        out["latent_levels"] = run_latent(levels, waves)
+        out["latent_note"] = (
+            "Latent pipeline (encode -> latent PC N=30 'ald' -> decode) "
+            "through the PRODUCTION serve_api build_engine (flagship "
+            "latent_diffsep_ouve, bf16 score net + bf16 VAE, VAE-hop "
+            "buckets). vs_reference_gpu_waveform uses the reference's "
+            "WAVEFORM headline for scale only — it ships no latent "
+            "runtime artifact.")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path} (latent_levels)")
+        return
     rng = np.random.default_rng(0)
     rows = []
     for conc in levels:
