@@ -25,7 +25,7 @@ from ditsep_tpu.configs import build_diffsep_trainer
 def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
                  sampler_N=30, sampler="pc", mask_padding=False,
                  max_seconds=60.0, latent=False, vae_params_npz=None,
-                 mesh=None, seed=0):
+                 mesh=None, seed=0, wire_int16=False):
     """Wire a BatchingEngine around a jitted separation call.
 
     ``latent=True`` serves the latent pipeline (VAE encode -> latent PC
@@ -71,7 +71,8 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
             fn, fs=fs, max_batch=max_batch, max_wait_ms=max_wait_ms,
             frame_spec=None,
             bucket_multiple=trainer.vae.downsampling_ratio * 16,
-            max_seconds=max_seconds, mesh=mesh, seed=seed)
+            max_seconds=max_seconds, mesh=mesh, seed=seed,
+            wire_int16=wire_int16)
 
     trainer = build_diffsep_trainer(cfg)
     n_src = trainer.cfg.n_speakers
@@ -91,7 +92,8 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
     return BatchingEngine(fn, fs=fs, max_batch=max_batch,
                           max_wait_ms=max_wait_ms, frame_spec=frame_spec,
                           max_seconds=max_seconds,
-                          pass_lengths=mask_padding, mesh=mesh, seed=seed)
+                          pass_lengths=mask_padding, mesh=mesh, seed=seed,
+                          wire_int16=wire_int16)
 
 
 def main(argv=None):
@@ -115,6 +117,12 @@ def main(argv=None):
                         "latent_diffsep_ouve and --vae-params")
     p.add_argument("--vae-params", default=None,
                    help="npz with OobleckVAE params (latent mode)")
+    p.add_argument("--wire-int16", action="store_true",
+                   help="move audio host<->device as int16 (WAV-16 "
+                        "resolution, the API's own output width) — "
+                        "halves the transfer volume that dominates "
+                        "served latency on remote-attached TPUs "
+                        "(docs/serving_bench.json)")
     p.add_argument("--stream-chunk-seconds", type=float, default=8.0,
                    help="default window for /v1/stream sessions")
     p.add_argument("--stream-overlap-seconds", type=float, default=1.0,
@@ -138,7 +146,8 @@ def main(argv=None):
         max_wait_ms=args.max_wait_ms, sampler_N=args.sampler_N,
         sampler=args.sampler, mask_padding=args.mask_padding,
         max_seconds=args.max_seconds, latent=args.latent,
-        vae_params_npz=args.vae_params, mesh=mesh, seed=args.seed)
+        vae_params_npz=args.vae_params, mesh=mesh, seed=args.seed,
+        wire_int16=args.wire_int16)
     fs = engine.fs
     if args.warmup_seconds:
         print(f"[serve_api] warming up {len(args.warmup_seconds)} "

@@ -78,6 +78,15 @@ class BatchingEngine:
         optional ``jax.sharding.Mesh`` with a "data" axis; batches are
         device_put with ``P("data")`` and batch sizes are rounded up to
         the device count.
+    wire_int16:
+        move audio host<->device as int16 (the same 16-bit quantization
+        a WAV response carries anyway; inputs are clipped to [-1, 1]).
+        Halves the per-wave transfer volume — which direct measurement
+        shows DOMINATES served latency on a remote-attached TPU
+        (docs/serving_bench.json latent_note: 1.00 s of a 1.11 s
+        concurrency-32 wave is pure audio transfer). Dequantization to
+        f32 and requantization of the estimates run on device inside
+        the same jitted program.
     """
 
     def __init__(self, separate_fn, *, fs: int = 8000, max_batch: int = 8,
@@ -86,8 +95,20 @@ class BatchingEngine:
                  bucket_multiple: int = 4096,
                  max_seconds: float = 60.0,
                  pass_lengths: bool = False,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0,
+                 wire_int16: bool = False):
         self._fn = separate_fn
+        self.wire_int16 = bool(wire_int16)
+        if wire_int16:
+            import jax.numpy as jnp
+
+            def _wire_fn(key, y_i16, *args):
+                y = y_i16.astype(jnp.float32) / 32768.0
+                est = separate_fn(key, y, *args)
+                est = jnp.clip(est, -1.0, 1.0)
+                return jnp.round(est * 32767.0).astype(jnp.int16)
+
+            self._fn = jax.jit(_wire_fn)
         self.fs = int(fs)
         self.max_wait = max_wait_ms / 1e3
         self.frame_spec = frame_spec
@@ -256,6 +277,10 @@ class BatchingEngine:
                     self._cv.wait()
 
     def _run(self, mix: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        if self.wire_int16:
+            mix = np.clip(mix, -1.0, 1.0)
+            mix = np.round(mix * 32768.0).clip(-32768, 32767).astype(
+                np.int16)
         mix_j = jax.numpy.asarray(mix)
         args = ()
         if self._sharding is not None:
@@ -270,7 +295,10 @@ class BatchingEngine:
         est = self._fn(sub, mix_j, *args)
         # host read = true completion fence on tunneled backends
         # (see eval/evaluate._host_fence)
-        return np.asarray(est)
+        est = np.asarray(est)
+        if self.wire_int16:
+            est = est.astype(np.float32) / 32767.0
+        return est
 
     def _loop(self) -> None:
         while True:

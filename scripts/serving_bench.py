@@ -35,7 +35,7 @@ FS = 8000
 BASELINE_UTT_PER_S = 1.0 / 3.659  # reference (BASELINE.md)
 
 
-def build_latent_engine(max_batch):
+def build_latent_engine(max_batch, wire_int16=False):
     """The PRODUCTION latent serving engine: cli/serve_api.build_engine
     with the flagship latent_diffsep_ouve family config (oobleck_finetune
     VAE + nf=128 latent NCSN++) in bf16 — the exact path `serve_api
@@ -47,10 +47,11 @@ def build_latent_engine(max_batch):
                       ["model.score_model.dtype=bfloat16",
                        "model.vae.dtype=bfloat16"])
     return build_engine(cfg, latent=True, max_batch=max_batch,
-                        max_wait_ms=300.0, max_seconds=10.0, sampler_N=30)
+                        max_wait_ms=300.0, max_seconds=10.0, sampler_N=30,
+                        wire_int16=wire_int16)
 
 
-def run_latent(levels, waves):
+def run_latent(levels, waves, wire_int16=False):
     """Latent-path sweep through the production engine; returns rows and
     updates docs/serving_bench.json with a `latent_levels` section."""
     rng = np.random.default_rng(0)
@@ -60,7 +61,7 @@ def run_latent(levels, waves):
     lo, hi = 63000, 65536
     rows = []
     for conc in levels:
-        eng = build_latent_engine(max(conc, 1))
+        eng = build_latent_engine(max(conc, 1), wire_int16)
         try:
             audios = [rng.standard_normal(
                 int(rng.integers(lo, hi + 1))).astype(np.float32) * 0.2
@@ -132,14 +133,31 @@ def main():
             os.path.abspath(__file__))), "docs", "serving_bench.json")
         with open(path) as f:
             out = json.load(f)
-        out["latent_levels"] = run_latent(levels, waves)
+        if os.environ.get("SERVE_BENCH_WIRE") == "int16":
+            out["latent_levels_wire_int16"] = run_latent(
+                levels, waves, wire_int16=True)
+            out["wire_int16_note"] = (
+                "same production engine with --wire-int16: audio crosses "
+                "host<->device as int16 (WAV-16 resolution), halving the "
+                "transfer volume the latent_note decomposition showed "
+                "dominates wave latency")
+        else:
+            out["latent_levels"] = run_latent(levels, waves)
         out["latent_note"] = (
             "Latent pipeline (encode -> latent PC N=30 'ald' -> decode) "
             "through the PRODUCTION serve_api build_engine (flagship "
             "latent_diffsep_ouve, bf16 score net + bf16 VAE, VAE-hop "
             "buckets). vs_reference_gpu_waveform uses the reference's "
             "WAVEFORM headline for scale only — it ships no latent "
-            "runtime artifact.")
+            "runtime artifact. | Gap vs the offline 65.5 utt/s latent "
+            "bench decomposed by direct measurement: transferring one "
+            "concurrency-32 wave's audio over the remote-TPU tunnel "
+            "(8.4 MB requests in + 16.8 MB separated audio out, "
+            "trivial-compute probe) costs 1.00 s — the measured 1.11 s "
+            "f32-wire wave latency is transfer-bound, not engine- or "
+            "compute-bound (the offline bench host-reads only a "
+            "scalar). --wire-int16 halves that term; a locally-attached "
+            "chip (PCIe) removes it.")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path} (latent_levels)")

@@ -726,3 +726,32 @@ def test_engine_cold_bucket_not_starved_by_hot_bucket():
         stop.set()
         t.join(timeout=5)
         eng.close()
+
+
+def test_engine_wire_int16_fidelity():
+    """wire_int16 moves audio host<->device as int16 (halving the
+    transfer volume that dominates served latency on remote-attached
+    TPUs — docs/serving_bench.json); results must match the f32-wire
+    path within 16-bit quantization (the WAV response's own width)."""
+    import jax.numpy as jnp
+
+    def sep(key, mix):
+        x = mix[:, 0]
+        return jnp.stack([2.0 * x, -x], axis=1)
+
+    eng = BatchingEngine(sep, max_batch=4, max_wait_ms=30.0,
+                         wire_int16=True)
+    try:
+        rng = np.random.default_rng(3)
+        audios = [rng.uniform(-0.4, 0.4, size=L).astype(np.float32)
+                  for L in (8000, 8010)]
+        outs = [f.result(timeout=60)
+                for f in [eng.submit(a) for a in audios]]
+        for a, o in zip(audios, outs):
+            assert o.shape == (2, a.shape[-1])
+            assert o.dtype == np.float32
+            # input quant (1/32768) propagated through 2x + output quant
+            np.testing.assert_allclose(o[0], 2.0 * a, atol=3.5 / 32768)
+            np.testing.assert_allclose(o[1], -a, atol=2.5 / 32768)
+    finally:
+        eng.close()
