@@ -25,7 +25,7 @@ from ditsep_tpu.configs import build_diffsep_trainer
 def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
                  sampler_N=30, sampler="pc", mask_padding=False,
                  max_seconds=60.0, latent=False, vae_params_npz=None,
-                 mesh=None, seed=0, wire_int16=False):
+                 mesh=None, seed=0, wire_int16=False, pipeline_depth=2):
     """Wire a BatchingEngine around a jitted separation call.
 
     ``latent=True`` serves the latent pipeline (VAE encode -> latent PC
@@ -64,7 +64,8 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
         else:
             params = template
         sep_p = jax.jit(lambda p, vp, k, y: trainer.separate_latent(
-            p, vp, k, y, target_dim=y.shape[-1], N=sampler_N)[0])
+            p, vp, k, y, target_dim=y.shape[-1], N=sampler_N,
+            sampler=sampler)[0])
         fn = lambda k, y: sep_p(params, vae_params, k, y)
         # latent path buckets by the VAE hop, not STFT frame blocks
         return BatchingEngine(
@@ -72,7 +73,7 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
             frame_spec=None,
             bucket_multiple=trainer.vae.downsampling_ratio * 16,
             max_seconds=max_seconds, mesh=mesh, seed=seed,
-            wire_int16=wire_int16)
+            wire_int16=wire_int16, pipeline_depth=pipeline_depth)
 
     trainer = build_diffsep_trainer(cfg)
     n_src = trainer.cfg.n_speakers
@@ -93,7 +94,8 @@ def build_engine(cfg, *, params_npz=None, max_batch=8, max_wait_ms=50.0,
                           max_wait_ms=max_wait_ms, frame_spec=frame_spec,
                           max_seconds=max_seconds,
                           pass_lengths=mask_padding, mesh=mesh, seed=seed,
-                          wire_int16=wire_int16)
+                          wire_int16=wire_int16,
+                          pipeline_depth=pipeline_depth)
 
 
 def main(argv=None):
@@ -106,7 +108,12 @@ def main(argv=None):
     p.add_argument("--max-seconds", type=float, default=60.0,
                    help="reject utterances longer than this")
     p.add_argument("--sampler-N", type=int, default=30)
-    p.add_argument("--sampler", choices=("pc", "ab2"), default="pc")
+    p.add_argument("--sampler", choices=("pc", "ab2"), default="pc",
+                   help="ab2 = 2nd-order multistep (one score eval per "
+                        "step, half the NFE of pc at equal N) on either "
+                        "the waveform or --latent path; matched-quality "
+                        "operating points measured in docs/nfe_study.json "
+                        "and docs/latent_nfe_r05.json")
     p.add_argument("--mask-padding", action="store_true",
                    help="padding-robust scoring (per-request lengths "
                         "masked out of normalization/attention stats; "
@@ -123,6 +130,12 @@ def main(argv=None):
                         "halves the transfer volume that dominates "
                         "served latency on remote-attached TPUs "
                         "(docs/serving_bench.json)")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="max in-flight batches: >=2 overlaps host<->"
+                        "device audio transfers with the next batch's "
+                        "compute (the dominant served-latency term on "
+                        "remote-attached TPUs); 1 = strict "
+                        "upload->compute->download serialization")
     p.add_argument("--stream-chunk-seconds", type=float, default=8.0,
                    help="default window for /v1/stream sessions")
     p.add_argument("--stream-overlap-seconds", type=float, default=1.0,
@@ -147,7 +160,7 @@ def main(argv=None):
         sampler=args.sampler, mask_padding=args.mask_padding,
         max_seconds=args.max_seconds, latent=args.latent,
         vae_params_npz=args.vae_params, mesh=mesh, seed=args.seed,
-        wire_int16=args.wire_int16)
+        wire_int16=args.wire_int16, pipeline_depth=args.pipeline_depth)
     fs = engine.fs
     if args.warmup_seconds:
         print(f"[serve_api] warming up {len(args.warmup_seconds)} "

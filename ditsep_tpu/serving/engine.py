@@ -87,6 +87,18 @@ class BatchingEngine:
         concurrency-32 wave is pure audio transfer). Dequantization to
         f32 and requantization of the estimates run on device inside
         the same jitted program.
+    pipeline_depth:
+        max batches in flight on the device at once. JAX dispatch is
+        asynchronous, so with depth >= 2 the dispatch thread uploads and
+        enqueues batch k+1 while batch k still computes, and a separate
+        completion thread blocks on batch k's host read — downloads
+        overlap the next batch's compute instead of serializing with it
+        (the dominant term on remote-attached TPUs, see wire_int16).
+        Device memory cost is one extra batch of I/O buffers only: the
+        runtime serializes program EXECUTION, so live compute buffers
+        never double. depth=1 restores strict upload->compute->download
+        serialization. Results and RNG streams are identical at any
+        depth (keys are split in dispatch order).
     """
 
     def __init__(self, separate_fn, *, fs: int = 8000, max_batch: int = 8,
@@ -96,19 +108,27 @@ class BatchingEngine:
                  max_seconds: float = 60.0,
                  pass_lengths: bool = False,
                  mesh=None, seed: int = 0,
-                 wire_int16: bool = False):
+                 wire_int16: bool = False,
+                 pipeline_depth: int = 2):
         self._fn = separate_fn
         self.wire_int16 = bool(wire_int16)
         if wire_int16:
             import jax.numpy as jnp
 
-            def _wire_fn(key, y_i16, *args):
-                y = y_i16.astype(jnp.float32) / 32768.0
-                est = separate_fn(key, y, *args)
-                est = jnp.clip(est, -1.0, 1.0)
-                return jnp.round(est * 32767.0).astype(jnp.int16)
+            # dequant/requant run on device as their OWN tiny jitted
+            # programs (never fused with separate_fn under an outer
+            # jit): the separator's already-compiled XLA program is
+            # reused byte-identically, so enabling the int16 wire costs
+            # two trivial compiles instead of recompiling the flagship
+            # sampler per batch shape. Intermediates stay on device.
+            _dequant = jax.jit(lambda a: a.astype(jnp.float32) / 32768.0)
+            _requant = jax.jit(lambda e: jnp.round(
+                jnp.clip(e, -1.0, 1.0) * 32767.0).astype(jnp.int16))
 
-            self._fn = jax.jit(_wire_fn)
+            def _wire_fn(key, y_i16, *args):
+                return _requant(separate_fn(key, _dequant(y_i16), *args))
+
+            self._fn = _wire_fn
         self.fs = int(fs)
         self.max_wait = max_wait_ms / 1e3
         self.frame_spec = frame_spec
@@ -142,6 +162,18 @@ class BatchingEngine:
         self._stats = {"requests": 0, "batches": 0, "batched_items": 0,
                        "padded_rows": 0, "rejected": 0}
         self._latencies: List[float] = []
+        self._queue = None
+        self._completion_thread = None
+        if int(pipeline_depth) > 1:
+            import queue
+
+            # completer holds one batch while reading; the queue buffers
+            # the rest => in-flight batches are bounded by pipeline_depth
+            self._queue = queue.Queue(maxsize=int(pipeline_depth) - 1)
+            self._completion_thread = threading.Thread(
+                target=self._completion_loop, daemon=True,
+                name="ditsep-completer")
+            self._completion_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="ditsep-batcher")
         self._thread.start()
@@ -213,7 +245,11 @@ class BatchingEngine:
         with self._cv:
             self._closed = True
             self._cv.notify_all()
+        t0 = time.perf_counter()
         self._thread.join(timeout)
+        if self._completion_thread is not None:
+            self._completion_thread.join(
+                max(0.1, timeout - (time.perf_counter() - t0)))
         with self._cv:
             for reqs in self._pending.values():
                 for r in reqs:
@@ -276,7 +312,10 @@ class BatchingEngine:
                 else:
                     self._cv.wait()
 
-    def _run(self, mix: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    def _dispatch(self, mix: np.ndarray, lengths: np.ndarray):
+        """Upload + enqueue one batch; returns the (async) device result.
+        Does NOT block on the computation — jax dispatch returns a future
+        array; the host read in :meth:`_finalize` is the fence."""
         if self.wire_int16:
             mix = np.clip(mix, -1.0, 1.0)
             mix = np.round(mix * 32768.0).clip(-32768, 32767).astype(
@@ -292,7 +331,9 @@ class BatchingEngine:
             args = (lens,)
         with self._cv:
             self._key, sub = jax.random.split(self._key)
-        est = self._fn(sub, mix_j, *args)
+        return self._fn(sub, mix_j, *args)
+
+    def _finalize(self, est) -> np.ndarray:
         # host read = true completion fence on tunneled backends
         # (see eval/evaluate._host_fence)
         est = np.asarray(est)
@@ -300,10 +341,42 @@ class BatchingEngine:
             est = est.astype(np.float32) / 32767.0
         return est
 
+    def _run(self, mix: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        return self._finalize(self._dispatch(mix, lengths))
+
+    def _complete(self, batch: List[_Request], bs: int, est) -> None:
+        """Host-read one dispatched batch and resolve its futures."""
+        try:
+            est = self._finalize(est)
+            now = time.perf_counter()
+            with self._cv:
+                self._stats["batches"] += 1
+                self._stats["batched_items"] += len(batch)
+                self._stats["padded_rows"] += bs - len(batch)
+                self._latencies.extend(
+                    now - r.t_submit for r in batch)
+                del self._latencies[:-1024]
+            for i, r in enumerate(batch):
+                r.future.set_result(
+                    np.array(est[i][:, :r.audio.shape[-1]]))
+        except Exception as e:  # resolve futures, keep serving
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _completion_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            self._complete(*item)
+
     def _loop(self) -> None:
         while True:
             batch = self._take_batch()
             if batch is None:
+                if self._queue is not None:
+                    self._queue.put(None)  # drain sentinel
                 return
             try:
                 bs = self._round_batch(len(batch))
@@ -314,19 +387,15 @@ class BatchingEngine:
                     L = r.audio.shape[-1]
                     mix[i, 0, :L] = r.audio  # trailing-quiet padding
                     lens[i] = L
-                est = self._run(mix, lens)
-                now = time.perf_counter()
-                with self._cv:
-                    self._stats["batches"] += 1
-                    self._stats["batched_items"] += len(batch)
-                    self._stats["padded_rows"] += bs - len(batch)
-                    self._latencies.extend(
-                        now - r.t_submit for r in batch)
-                    del self._latencies[:-1024]
-                for i, r in enumerate(batch):
-                    r.future.set_result(
-                        np.array(est[i][:, :r.audio.shape[-1]]))
-            except Exception as e:  # resolve futures, keep serving
+                est = self._dispatch(mix, lens)
+            except Exception as e:  # dispatch-time failure
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                continue
+            if self._queue is None:
+                self._complete(batch, bs, est)
+            else:
+                # blocks when pipeline_depth batches are already in
+                # flight, bounding device-side I/O buffering
+                self._queue.put((batch, bs, est))

@@ -19,7 +19,7 @@ from typing import Dict, Optional
 import jax
 
 from ditsep_tpu.models.oobleck import OobleckVAE
-from ditsep_tpu.sdes import pc_sample
+from ditsep_tpu.sdes import ab2_sample, pc_sample
 from ditsep_tpu.training import losses as loss_lib
 from ditsep_tpu.training.diffsep import DiffSepTrainer
 from ditsep_tpu.utils import separate as sep_utils
@@ -121,11 +121,15 @@ class LatentDiffSepTrainer(DiffSepTrainer):
     def separate_latent(self, params, vae_params, key, mix, *,
                         latent: bool = False,
                         target_dim: Optional[int] = None,
-                        N: Optional[int] = None, enc_noise=None, **kwargs):
+                        N: Optional[int] = None, enc_noise=None,
+                        sampler: str = "pc", **kwargs):
         """Encode -> PC sample ('ald' corrector) -> decode
         (reference: src/diffsep_latent.py:471-487). ``enc_noise`` injects
         the VAE posterior draw ((B, D, Tl) standard normal) for parity
-        oracles; ``kwargs`` reach pc_sample (e.g. its own ``noise``)."""
+        oracles; ``kwargs`` reach the sampler (e.g. its own ``noise``).
+        ``sampler='ab2'`` swaps in the 2nd-order multistep integrator
+        (one score eval per step): docs/latent_nfe_r05.json measures
+        AB2 at NFE 30 matching PC at NFE 60 on this pipeline."""
         cfg = self.cfg
         k_enc, k_samp = jax.random.split(key)
         if not latent:
@@ -137,12 +141,20 @@ class LatentDiffSepTrainer(DiffSepTrainer):
             else:
                 mix, _ = self.encode(vae_params, k_enc, mix, None)
         score_fn = lambda x, t, y: self.model_fwd(params, x, t, y)
-        est, nfe = pc_sample(
-            self.sde, score_fn, k_samp, mix,
-            predictor="reverse_diffusion", corrector="ald",
-            N=cfg.sampler_N if N is None else N,
-            snr=cfg.sampler_snr, corrector_steps=cfg.sampler_corrector_steps,
-            denoise=True, eps=cfg.t_eps, n_spkrs=cfg.n_speakers, **kwargs)
+        if sampler == "ab2":
+            est, nfe = ab2_sample(
+                self.sde, score_fn, k_samp, mix,
+                N=cfg.sampler_N if N is None else N,
+                eps=cfg.t_eps, n_spkrs=cfg.n_speakers, **kwargs)
+        else:
+            est, nfe = pc_sample(
+                self.sde, score_fn, k_samp, mix,
+                predictor="reverse_diffusion", corrector="ald",
+                N=cfg.sampler_N if N is None else N,
+                snr=cfg.sampler_snr,
+                corrector_steps=cfg.sampler_corrector_steps,
+                denoise=True, eps=cfg.t_eps, n_spkrs=cfg.n_speakers,
+                **kwargs)
         est = self.decode(vae_params, est, target_dim)
         return est, nfe
 

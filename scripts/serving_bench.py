@@ -35,7 +35,8 @@ FS = 8000
 BASELINE_UTT_PER_S = 1.0 / 3.659  # reference (BASELINE.md)
 
 
-def build_latent_engine(max_batch, wire_int16=False):
+def build_latent_engine(max_batch, wire_int16=False, pipeline_depth=2,
+                        sampler="pc", sampler_N=30):
     """The PRODUCTION latent serving engine: cli/serve_api.build_engine
     with the flagship latent_diffsep_ouve family config (oobleck_finetune
     VAE + nf=128 latent NCSN++) in bf16 — the exact path `serve_api
@@ -47,11 +48,14 @@ def build_latent_engine(max_batch, wire_int16=False):
                       ["model.score_model.dtype=bfloat16",
                        "model.vae.dtype=bfloat16"])
     return build_engine(cfg, latent=True, max_batch=max_batch,
-                        max_wait_ms=300.0, max_seconds=10.0, sampler_N=30,
-                        wire_int16=wire_int16)
+                        max_wait_ms=300.0, max_seconds=10.0,
+                        sampler_N=sampler_N, sampler=sampler,
+                        wire_int16=wire_int16,
+                        pipeline_depth=pipeline_depth)
 
 
-def run_latent(levels, waves, wire_int16=False):
+def run_latent(levels, waves, wire_int16=False, pipeline_depth=2,
+               sampler="pc", sampler_N=30):
     """Latent-path sweep through the production engine; returns rows and
     updates docs/serving_bench.json with a `latent_levels` section."""
     rng = np.random.default_rng(0)
@@ -59,9 +63,11 @@ def run_latent(levels, waves, wire_int16=False):
     # (docs/latent_bench_r04.json, 8.4 s utts); VAE hop 2048, engine
     # buckets at hop*16=32768 so the band shares one bucket
     lo, hi = 63000, 65536
+    mode = os.environ.get("SERVE_BENCH_MODE", "waves")
     rows = []
     for conc in levels:
-        eng = build_latent_engine(max(conc, 1), wire_int16)
+        eng = build_latent_engine(max(conc, 1), wire_int16,
+                                  pipeline_depth, sampler, sampler_N)
         try:
             audios = [rng.standard_normal(
                 int(rng.integers(lo, hi + 1))).astype(np.float32) * 0.2
@@ -69,13 +75,26 @@ def run_latent(levels, waves, wire_int16=False):
             wait([eng.submit(a) for a in audios], timeout=3600)  # compile
             t0 = time.perf_counter()
             lat = []
-            for _ in range(waves):
-                futs = [eng.submit(a) for a in audios]
-                t_sub = time.perf_counter()
+            if mode == "saturated":
+                # saturated offered load: all waves queued upfront, so
+                # >1 batch is in flight and pipeline_depth>=2 overlaps
+                # each batch's host<->device transfers with the next
+                # batch's compute (wave submit->wait->resubmit keeps
+                # exactly one batch in flight and can never overlap)
+                futs = [eng.submit(a) for _ in range(waves)
+                        for a in audios]
                 wait(futs, timeout=3600)
-                lat.append(time.perf_counter() - t_sub)
                 for f in futs:
                     f.result()
+                lat = [time.perf_counter() - t0]
+            else:
+                for _ in range(waves):
+                    futs = [eng.submit(a) for a in audios]
+                    t_sub = time.perf_counter()
+                    wait(futs, timeout=3600)
+                    lat.append(time.perf_counter() - t_sub)
+                    for f in futs:
+                        f.result()
             dt = time.perf_counter() - t0
             st = eng.stats()
             row = {
@@ -83,10 +102,17 @@ def run_latent(levels, waves, wire_int16=False):
                 "throughput_utt_per_s": round(conc * waves / dt, 4),
                 "vs_reference_gpu_waveform": round(
                     (conc * waves / dt) / BASELINE_UTT_PER_S, 3),
-                "wave_latency_s_mean": round(float(np.mean(lat)), 3),
+                ("makespan_s" if mode == "saturated"
+                 else "wave_latency_s_mean"): round(
+                    float(np.mean(lat)), 3),
                 "mean_batch_occupancy": round(
                     st["mean_batch_occupancy"], 2),
                 "batches": st["batches"],
+                "pipeline_depth": pipeline_depth,
+                "wire": "int16" if wire_int16 else "f32",
+                "mode": mode,
+                "sampler": sampler,
+                "nfe": sampler_N * 2 if sampler == "pc" else sampler_N,
             }
             rows.append(row)
             print(json.dumps(row))
@@ -133,16 +159,39 @@ def main():
             os.path.abspath(__file__))), "docs", "serving_bench.json")
         with open(path) as f:
             out = json.load(f)
-        if os.environ.get("SERVE_BENCH_WIRE") == "int16":
-            out["latent_levels_wire_int16"] = run_latent(
-                levels, waves, wire_int16=True)
+        wire_int16 = os.environ.get("SERVE_BENCH_WIRE") == "int16"
+        depth = int(os.environ.get("SERVE_BENCH_DEPTH", "2"))
+        mode = os.environ.get("SERVE_BENCH_MODE", "waves")
+        sampler = os.environ.get("SERVE_BENCH_SAMPLER", "pc")
+        if sampler == "ab2":
+            # matched-quality fast mode: AB2 at NFE 30 == PC at NFE 60
+            # on this pipeline (docs/latent_nfe_r05.json accept rule)
+            key = "latent_levels_ab2_fast"
+        elif wire_int16:
+            key = "latent_levels_wire_int16"
+        elif depth > 1:
+            key = "latent_levels_pipelined"
+        elif mode == "saturated":
+            key = "latent_levels_saturated_serial"
+        else:
+            key = "latent_levels"
+        out[key] = run_latent(levels, waves, wire_int16=wire_int16,
+                              pipeline_depth=depth, sampler=sampler)
+        if wire_int16:
             out["wire_int16_note"] = (
                 "same production engine with --wire-int16: audio crosses "
                 "host<->device as int16 (WAV-16 resolution), halving the "
                 "transfer volume the latent_note decomposition showed "
                 "dominates wave latency")
-        else:
-            out["latent_levels"] = run_latent(levels, waves)
+        if depth > 1:
+            out["pipeline_note"] = (
+                "pipeline_depth>=2 (the serve_api default): the engine "
+                "dispatch thread uploads+enqueues batch k+1 while batch "
+                "k computes and a completion thread blocks on batch k's "
+                "host read, so the dominant transfer term overlaps the "
+                "next batch's compute; measured under saturated offered "
+                "load (all waves queued upfront — submit/wait waves keep "
+                "one batch in flight and cannot overlap by construction)")
         out["latent_note"] = (
             "Latent pipeline (encode -> latent PC N=30 'ald' -> decode) "
             "through the PRODUCTION serve_api build_engine (flagship "

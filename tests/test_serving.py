@@ -755,3 +755,112 @@ def test_engine_wire_int16_fidelity():
             np.testing.assert_allclose(o[1], -a, atol=2.5 / 32768)
     finally:
         eng.close()
+
+
+def test_engine_pipeline_depth_invariance():
+    """pipeline_depth only changes SCHEDULING (dispatch of batch k+1
+    overlaps the host read of batch k); results and the RNG stream must
+    be bit-identical at any depth because keys are split in dispatch
+    order. One bucket + full batches makes batch composition
+    deterministic, and a key-dependent separator makes any reordering
+    visible."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def sep(key, mix):
+        x = mix[:, 0]
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        return jnp.stack([x + noise, x - noise], axis=1)
+
+    rng = np.random.default_rng(11)
+    audios = [rng.standard_normal(5000).astype(np.float32)
+              for _ in range(12)]
+    results = []
+    for depth in (1, 3):
+        eng = BatchingEngine(sep, max_batch=4, max_wait_ms=500.0,
+                             seed=42, pipeline_depth=depth)
+        try:
+            futs = [eng.submit(a) for a in audios]
+            results.append([f.result(timeout=120) for f in futs])
+            assert eng.stats()["batches"] == 3
+        finally:
+            eng.close()
+    for serial, piped in zip(*results):
+        np.testing.assert_array_equal(serial, piped)
+
+
+def test_engine_pipelined_overlaps_reads():
+    """With depth >= 2 the dispatch thread must not wait for batch k's
+    host read before dispatching batch k+1: a separator whose RESULT
+    read blocks (simulating the device->host download) still admits the
+    next dispatch. Verified by timing: two batches through a separator
+    whose read costs `delay` finish in ~delay + epsilon extra, not
+    2*delay, because the second compute/read overlaps the first."""
+
+    delay = 0.3
+
+    class SlowRead:
+        """Mimics an async jax array: materializes after `delay`."""
+
+        def __init__(self, value, t_ready):
+            self._value = value
+            self._t_ready = t_ready
+
+        def __array__(self, dtype=None, copy=None):
+            rem = self._t_ready - time.perf_counter()
+            if rem > 0:
+                time.sleep(rem)
+            v = self._value
+            return v.astype(dtype) if dtype is not None else v
+
+    def sep(key, mix):
+        x = np.asarray(mix)[:, 0]
+        return SlowRead(np.stack([2.0 * x, -x], axis=1),
+                        time.perf_counter() + delay)
+
+    rng = np.random.default_rng(5)
+    audios = [rng.standard_normal(5000).astype(np.float32)
+              for _ in range(4)]
+    timings = {}
+    for depth in (1, 2):
+        eng = BatchingEngine(sep, max_batch=2, max_wait_ms=500.0,
+                             pipeline_depth=depth)
+        try:
+            t0 = time.perf_counter()
+            futs = [eng.submit(a) for a in audios]
+            outs = [f.result(timeout=60) for f in futs]
+            timings[depth] = time.perf_counter() - t0
+            for a, o in zip(audios, outs):
+                np.testing.assert_allclose(o[0], 2.0 * a, rtol=1e-6)
+        finally:
+            eng.close()
+    assert timings[1] >= 2 * delay - 0.05          # serial: reads stack
+    assert timings[2] <= timings[1] - 0.4 * delay  # pipelined: overlap
+
+
+def test_build_engine_latent_ab2():
+    """serve_api --latent --sampler ab2: the matched-quality fast mode
+    (docs/latent_nfe_r05.json: AB2 at NFE 30 == PC at NFE 60) must run
+    end-to-end through the production engine."""
+    from ditsep_tpu.cli.common import load_config
+    from ditsep_tpu.cli.serve_api import build_engine
+
+    cfg = load_config("latent_diffsep_ouve", [
+        "model.score_model.nf=16", "model.score_model.ch_mult=(1, 2)",
+        "model.score_model.attn_resolutions=()",
+        "model.score_model.image_size=4", "model.vae.channels=8",
+        "model.vae.c_mults=(1, 2)", "model.vae.strides=(2, 4)",
+        "model.vae.latent_dim=4"])
+    eng = build_engine(cfg, sampler_N=3, sampler="ab2", latent=True,
+                       max_batch=2, max_wait_ms=40.0)
+    try:
+        rng = np.random.default_rng(6)
+        futs = [eng.submit(0.2 * rng.standard_normal(4000)
+                           .astype(np.float32)) for _ in range(2)]
+        for f in futs:
+            out = f.result(timeout=600)
+            assert out.shape == (2, 4000)
+            assert np.isfinite(out).all()
+    finally:
+        eng.close()
