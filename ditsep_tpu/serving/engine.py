@@ -164,12 +164,18 @@ class BatchingEngine:
         self._latencies: List[float] = []
         self._queue = None
         self._completion_thread = None
+        self._inflight_sem = None
+        self._inflight: Dict[int, List[_Request]] = {}
         if int(pipeline_depth) > 1:
             import queue
 
-            # completer holds one batch while reading; the queue buffers
-            # the rest => in-flight batches are bounded by pipeline_depth
-            self._queue = queue.Queue(maxsize=int(pipeline_depth) - 1)
+            # the semaphore is acquired BEFORE a batch is uploaded and
+            # released after its host read completes, so dispatched-but-
+            # unread batches are bounded by pipeline_depth exactly (a
+            # bounded queue alone would admit one extra: the producer
+            # would block in put() holding an already-dispatched batch)
+            self._inflight_sem = threading.Semaphore(int(pipeline_depth))
+            self._queue = queue.Queue()
             self._completion_thread = threading.Thread(
                 target=self._completion_loop, daemon=True,
                 name="ditsep-completer")
@@ -251,7 +257,16 @@ class BatchingEngine:
             self._completion_thread.join(
                 max(0.1, timeout - (time.perf_counter() - t0)))
         with self._cv:
-            for reqs in self._pending.values():
+            # never-dispatched requests, plus — when the join timed out
+            # because a host read wedged (tunnel stall) — any batches
+            # still registered in flight: otherwise their callers would
+            # block on future.result() forever after close() returns
+            leftovers = list(self._pending.values())
+            if (self._completion_thread is not None
+                    and self._completion_thread.is_alive()):
+                leftovers += list(self._inflight.values())
+                self._inflight.clear()
+            for reqs in leftovers:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(RuntimeError("engine closed"))
@@ -357,8 +372,9 @@ class BatchingEngine:
                     now - r.t_submit for r in batch)
                 del self._latencies[:-1024]
             for i, r in enumerate(batch):
-                r.future.set_result(
-                    np.array(est[i][:, :r.audio.shape[-1]]))
+                if not r.future.done():  # close() may have failed it
+                    r.future.set_result(
+                        np.array(est[i][:, :r.audio.shape[-1]]))
         except Exception as e:  # resolve futures, keep serving
             for r in batch:
                 if not r.future.done():
@@ -369,7 +385,12 @@ class BatchingEngine:
             item = self._queue.get()
             if item is None:
                 return
-            self._complete(*item)
+            try:
+                self._complete(*item)
+            finally:
+                with self._cv:
+                    self._inflight.pop(id(item[0]), None)
+                self._inflight_sem.release()
 
     def _loop(self) -> None:
         while True:
@@ -378,6 +399,12 @@ class BatchingEngine:
                 if self._queue is not None:
                     self._queue.put(None)  # drain sentinel
                 return
+            if self._inflight_sem is not None:
+                # blocks BEFORE upload when pipeline_depth batches are
+                # already in flight, bounding device-side I/O buffering
+                self._inflight_sem.acquire()
+                with self._cv:
+                    self._inflight[id(batch)] = batch
             try:
                 bs = self._round_batch(len(batch))
                 blen = batch[0].bucket
@@ -392,10 +419,12 @@ class BatchingEngine:
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                if self._inflight_sem is not None:
+                    with self._cv:
+                        self._inflight.pop(id(batch), None)
+                    self._inflight_sem.release()
                 continue
             if self._queue is None:
                 self._complete(batch, bs, est)
             else:
-                # blocks when pipeline_depth batches are already in
-                # flight, bounding device-side I/O buffering
                 self._queue.put((batch, bs, est))

@@ -126,10 +126,12 @@ class LatentDiffSepTrainer(DiffSepTrainer):
         """Encode -> PC sample ('ald' corrector) -> decode
         (reference: src/diffsep_latent.py:471-487). ``enc_noise`` injects
         the VAE posterior draw ((B, D, Tl) standard normal) for parity
-        oracles; ``kwargs`` reach the sampler (e.g. its own ``noise``).
-        ``sampler='ab2'`` swaps in the 2nd-order multistep integrator
-        (one score eval per step): docs/latent_nfe_r05.json measures
-        AB2 at NFE 30 matching PC at NFE 60 on this pipeline."""
+        oracles; ``kwargs`` reach the chosen sampler (pc: e.g. its own
+        ``noise`` for matched-noise oracles; ab2: e.g. ``stochastic`` —
+        ab2 takes no injected noise). ``sampler='ab2'`` swaps in the
+        2nd-order multistep integrator (one score eval per step):
+        docs/latent_nfe_r05.json measures AB2 at NFE 30 matching PC at
+        NFE 60 on this pipeline."""
         cfg = self.cfg
         k_enc, k_samp = jax.random.split(key)
         if not latent:

@@ -55,7 +55,7 @@ def build_latent_engine(max_batch, wire_int16=False, pipeline_depth=2,
 
 
 def run_latent(levels, waves, wire_int16=False, pipeline_depth=2,
-               sampler="pc", sampler_N=30):
+               sampler="pc", sampler_N=30, mode="waves"):
     """Latent-path sweep through the production engine; returns rows and
     updates docs/serving_bench.json with a `latent_levels` section."""
     rng = np.random.default_rng(0)
@@ -63,7 +63,6 @@ def run_latent(levels, waves, wire_int16=False, pipeline_depth=2,
     # (docs/latent_bench_r04.json, 8.4 s utts); VAE hop 2048, engine
     # buckets at hop*16=32768 so the band shares one bucket
     lo, hi = 63000, 65536
-    mode = os.environ.get("SERVE_BENCH_MODE", "waves")
     rows = []
     for conc in levels:
         eng = build_latent_engine(max(conc, 1), wire_int16,
@@ -163,27 +162,38 @@ def main():
         depth = int(os.environ.get("SERVE_BENCH_DEPTH", "2"))
         mode = os.environ.get("SERVE_BENCH_MODE", "waves")
         sampler = os.environ.get("SERVE_BENCH_SAMPLER", "pc")
-        if sampler == "ab2":
+        sampler_N = int(os.environ.get("SERVE_BENCH_N", "30"))
+        # one key per distinct configuration so sweeps never silently
+        # clobber a differently-configured section (rows also carry
+        # wire/pipeline_depth/mode/sampler fields as ground truth);
+        # canonical short names are kept for the checked-in sweeps
+        if sampler == "ab2" and depth > 1 and mode == "saturated":
             # matched-quality fast mode: AB2 at NFE 30 == PC at NFE 60
             # on this pipeline (docs/latent_nfe_r05.json accept rule)
             key = "latent_levels_ab2_fast"
-        elif wire_int16:
+        elif sampler == "ab2":
+            key = ("latent_levels_ab2_"
+                   + ("int16" if wire_int16 else "f32")
+                   + f"_depth{depth}_{mode}")
+        elif wire_int16 and depth > 1 and mode == "saturated":
             key = "latent_levels_wire_int16"
-        elif depth > 1:
+        elif not wire_int16 and depth > 1 and mode == "saturated":
             key = "latent_levels_pipelined"
-        elif mode == "saturated":
-            key = "latent_levels_saturated_serial"
-        else:
+        elif not wire_int16 and depth == 1 and mode == "waves":
             key = "latent_levels"
+        else:
+            key = ("latent_levels_" + ("int16" if wire_int16 else "f32")
+                   + f"_depth{depth}_{mode}")
         out[key] = run_latent(levels, waves, wire_int16=wire_int16,
-                              pipeline_depth=depth, sampler=sampler)
+                              pipeline_depth=depth, sampler=sampler,
+                              sampler_N=sampler_N, mode=mode)
         if wire_int16:
             out["wire_int16_note"] = (
                 "same production engine with --wire-int16: audio crosses "
                 "host<->device as int16 (WAV-16 resolution), halving the "
                 "transfer volume the latent_note decomposition showed "
                 "dominates wave latency")
-        if depth > 1:
+        if depth > 1 and mode == "saturated":
             out["pipeline_note"] = (
                 "pipeline_depth>=2 (the serve_api default): the engine "
                 "dispatch thread uploads+enqueues batch k+1 while batch "

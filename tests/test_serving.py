@@ -798,7 +798,7 @@ def test_engine_pipelined_overlaps_reads():
     whose read costs `delay` finish in ~delay + epsilon extra, not
     2*delay, because the second compute/read overlaps the first."""
 
-    delay = 0.3
+    delay = 0.5  # generous vs thread-scheduling jitter on loaded boxes
 
     class SlowRead:
         """Mimics an async jax array: materializes after `delay`."""
@@ -835,8 +835,8 @@ def test_engine_pipelined_overlaps_reads():
                 np.testing.assert_allclose(o[0], 2.0 * a, rtol=1e-6)
         finally:
             eng.close()
-    assert timings[1] >= 2 * delay - 0.05          # serial: reads stack
-    assert timings[2] <= timings[1] - 0.4 * delay  # pipelined: overlap
+    assert timings[1] >= 2 * delay - 0.1           # serial: reads stack
+    assert timings[2] <= timings[1] - 0.3 * delay  # pipelined: overlap
 
 
 def test_build_engine_latent_ab2():
@@ -864,3 +864,74 @@ def test_build_engine_latent_ab2():
             assert np.isfinite(out).all()
     finally:
         eng.close()
+
+
+def test_engine_pipeline_depth_bounds_inflight():
+    """The in-flight semaphore must bound DISPATCHED-but-unread batches
+    at exactly pipeline_depth: the dispatch thread blocks BEFORE
+    uploading batch depth+1 (a bounded queue alone would admit one
+    extra, already-uploaded batch held by the blocked producer)."""
+    gate = threading.Event()
+    dispatched = []
+
+    class GatedRead:
+        def __init__(self, value):
+            self._v = value
+
+        def __array__(self, dtype=None, copy=None):
+            gate.wait(30)
+            return self._v
+
+    def sep(key, mix):
+        x = np.asarray(mix)[:, 0]
+        dispatched.append(1)
+        return GatedRead(np.stack([2.0 * x, -x], axis=1))
+
+    eng = BatchingEngine(sep, max_batch=1, max_wait_ms=5.0,
+                         pipeline_depth=2)
+    try:
+        futs = [eng.submit(np.zeros(4000, np.float32)) for _ in range(5)]
+        deadline = time.perf_counter() + 30.0
+        while len(dispatched) < 2 and time.perf_counter() < deadline:
+            time.sleep(0.02)  # first dispatch pays jax warmup
+        time.sleep(0.5)  # grace: a 3rd dispatch would land in here
+        assert len(dispatched) == 2  # depth batches in flight, not 3
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=30).shape == (2, 4000)
+        assert len(dispatched) == 5
+    finally:
+        gate.set()
+        eng.close()
+
+
+def test_engine_close_fails_inflight_on_wedged_read():
+    """If the completion thread is wedged in a host read (stalled
+    tunnel), close(timeout) must still fail the IN-FLIGHT batches'
+    futures — callers blocked on result() must not hang forever after
+    close() returns."""
+    gate = threading.Event()
+
+    class WedgedRead:
+        def __init__(self, value):
+            self._v = value
+
+        def __array__(self, dtype=None, copy=None):
+            gate.wait(30)
+            return self._v
+
+    def sep(key, mix):
+        x = np.asarray(mix)[:, 0]
+        return WedgedRead(np.stack([2.0 * x, -x], axis=1))
+
+    eng = BatchingEngine(sep, max_batch=2, max_wait_ms=5.0,
+                         pipeline_depth=2)
+    futs = [eng.submit(np.zeros(4000, np.float32)) for _ in range(2)]
+    time.sleep(0.4)  # batch dispatched; completer stuck in the read
+    eng.close(timeout=0.8)
+    for f in futs:
+        with pytest.raises(RuntimeError):
+            f.result(timeout=5)
+    gate.set()  # unblock the daemon completer; its late set_result
+    #             attempt must be a no-op (futures already failed)
+    time.sleep(0.2)
