@@ -149,8 +149,16 @@ def _unwrap_cfg(v):
 
 
 def _install_omegaconf():
-    if "omegaconf" in sys.modules:
-        return
+    existing = sys.modules.get("omegaconf")
+    if existing is not None:
+        # another test's narrower stub (e.g. test_facodec_parity's,
+        # which only exposes OmegaConf) may already be installed when
+        # the whole suite runs in one process; ours is a strict
+        # superset, so replace anything lacking the symbols the
+        # reference executables import (DictConfig, open_dict)
+        if hasattr(existing, "DictConfig") and hasattr(existing,
+                                                       "open_dict"):
+            return
     import contextlib
 
     import yaml
