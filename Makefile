@@ -10,7 +10,7 @@ profile:
 	$(PY) scripts/batch_scaling.py
 
 test:
-	$(PY) -m pytest tests/ -q -m "not slow"
+	$(PY) -m pytest tests/ -q -m "not slow and not heavy"
 
 test-full:
 	$(PY) -m pytest tests/ -q

@@ -39,7 +39,9 @@ def main(argv=None):
     trainer = build_latent_trainer(cfg)
     key = jax.random.PRNGKey(args.seed)
     vae_params = init_vae_params(trainer, args.vae_params, key)
-    ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    ds = make_dataset(cfg, "train", args.data_path, args.synthetic,
+                      synthetic_items=args.synthetic_items,
+                      synthetic_len_s=args.synthetic_len_s)
 
     mix0, _ = ds[0]
     mix_lat0, _ = trainer.encode(vae_params, None,

@@ -25,8 +25,11 @@ def main(argv=None):
     cfg = load_config(args.config, args.override)
 
     trainer = build_diffsep_trainer(cfg)
-    train_ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    train_ds = make_dataset(cfg, "train", args.data_path, args.synthetic,
+                            synthetic_items=args.synthetic_items,
+                            synthetic_len_s=args.synthetic_len_s)
     val_ds = make_dataset(cfg, "val", args.data_path, args.synthetic,
+                          synthetic_len_s=args.synthetic_len_s,
                           synthetic_items=4)
 
     mesh = None

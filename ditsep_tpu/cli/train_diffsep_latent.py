@@ -86,8 +86,11 @@ def main(argv=None):
                                  jax.random.PRNGKey(args.seed))
     bound = _VAEBoundTrainer(trainer, vae_params)
 
-    train_ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    train_ds = make_dataset(cfg, "train", args.data_path, args.synthetic,
+                            synthetic_items=args.synthetic_items,
+                            synthetic_len_s=args.synthetic_len_s)
     val_ds = make_dataset(cfg, "val", args.data_path, args.synthetic,
+                          synthetic_len_s=args.synthetic_len_s,
                           synthetic_items=4)
     mesh = None
     if args.mesh:

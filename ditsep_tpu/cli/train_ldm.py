@@ -43,7 +43,9 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     vae_params = init_vae_params(latent_trainer, args.vae_params, key)
 
-    base_ds = make_dataset(cfg, "train", args.data_path, args.synthetic)
+    base_ds = make_dataset(cfg, "train", args.data_path, args.synthetic,
+                           synthetic_items=args.synthetic_items,
+                           synthetic_len_s=args.synthetic_len_s)
     ds = LatentDataset(args.latent_cache, base_ds)
 
     disc = None

@@ -32,7 +32,8 @@ def test_train_diffsep_cli(tmp_path):
     from ditsep_tpu.cli.train_diffsep import main
     wd = str(tmp_path / "run")
     main(["--config", "diffsep", "--synthetic", "--workdir", wd,
-          "--batch-size", "2", "--max-steps", "3", "--max-epochs", "2",
+          "--synthetic-len-s", "2", "--batch-size", "2",
+          "--max-steps", "3", "--max-epochs", "2",
           "--override", *TINY_WAVEFORM])
     assert os.path.exists(f"{wd}/metrics.jsonl")
     lines = [json.loads(l) for l in open(f"{wd}/metrics.jsonl")]
@@ -50,7 +51,8 @@ def test_train_diffsep_cli_demo_and_resume(tmp_path):
     from ditsep_tpu.cli.train_diffsep import main
     wd = str(tmp_path / "run")
     base = ["--config", "diffsep", "--synthetic", "--workdir", wd,
-            "--batch-size", "2", "--max-epochs", "4",
+            "--synthetic-len-s", "2", "--batch-size", "2",
+            "--max-epochs", "4",
             "--override", *TINY_WAVEFORM]
     main(base + ["--max-steps", "2", "--demo-every", "2"])
     # demo artifact: audio summaries in the tensorboard event stream
@@ -97,7 +99,8 @@ def test_train_ldm_cli_demo_and_resume(tmp_path):
 def test_train_diffsep_latent_cli(tmp_path):
     from ditsep_tpu.cli.train_diffsep_latent import main
     wd = str(tmp_path / "run")
-    main(["--synthetic", "--workdir", wd, "--batch-size", "2",
+    main(["--synthetic", "--synthetic-len-s", "2", "--workdir", wd,
+          "--batch-size", "2",
           "--max-steps", "2", "--max-epochs", "1",
           "--override", *TINY_LATENT])
     assert os.path.exists(f"{wd}/metrics.jsonl")
